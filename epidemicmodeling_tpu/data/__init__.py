@@ -1,0 +1,19 @@
+from .preprocess import (
+    OXFORD_NPI_COLUMNS,
+    NPI_MAXES_DEFAULT,
+    clean_case_series,
+    forward_fill_npis,
+    preprocess_region,
+    RegionBatch,
+    build_region_batch,
+)
+from .oxford import load_oxford_data, load_populations, load_geo_list
+from .synthetic import synthetic_oxford_frame
+
+__all__ = [
+    "OXFORD_NPI_COLUMNS", "NPI_MAXES_DEFAULT",
+    "clean_case_series", "forward_fill_npis", "preprocess_region",
+    "RegionBatch", "build_region_batch",
+    "load_oxford_data", "load_populations", "load_geo_list",
+    "synthetic_oxford_frame",
+]

@@ -1,0 +1,74 @@
+"""OxCGRT / XPRIZE data loaders.
+
+Reference behavior: the drivers readtable the OxCGRT CSV (CountryName,
+RegionName, Date as YYYYMMDD, ConfirmedCases, ConfirmedDeaths, NPI columns)
+and the populations/geo CSVs (Tools/TrainPredictPrescribeNPI.m:62-91), keying
+regions by the "CountryName RegionName" string concatenation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .preprocess import OXFORD_NPI_COLUMNS
+
+
+def _geo_id(country, region) -> pd.Series:
+    """Unique region key: 'CountryName RegionName' with a trailing space for
+    country-level rows, mirroring strcat(country, " ", region)."""
+    region = region.fillna("") if hasattr(region, "fillna") else region
+    return country.astype(str) + " " + region.astype(str)
+
+
+def load_oxford_data(path, npi_columns: Optional[Sequence[str]] = None,
+                     start_date: Optional[str] = None,
+                     end_date: Optional[str] = None) -> pd.DataFrame:
+    """Load the OxCGRT table, normalize the Date column to YYYYMMDD ints, add
+    a GeoID key, and optionally crop the date range (inclusive)."""
+    npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
+    df = pd.read_csv(path, dtype={"CountryName": str, "RegionName": str},
+                     low_memory=False)
+    if np.issubdtype(df["Date"].dtype, np.number):
+        date_num = df["Date"].astype(np.int64)
+    else:
+        date_num = pd.to_datetime(df["Date"]).dt.strftime("%Y%m%d").astype(
+            np.int64)
+    df = df.assign(DateNum=date_num,
+                   GeoID=_geo_id(df["CountryName"], df["RegionName"]))
+    if start_date:
+        df = df[df["DateNum"] >= int(start_date.replace("-", ""))]
+    if end_date:
+        df = df[df["DateNum"] <= int(end_date.replace("-", ""))]
+    needed = (["CountryName", "RegionName", "GeoID", "DateNum",
+               "ConfirmedCases", "ConfirmedDeaths"] + npi_columns)
+    for c in needed:
+        if c not in df.columns:
+            df[c] = np.nan
+    return df[needed].sort_values(["GeoID", "DateNum"]).reset_index(drop=True)
+
+
+def load_populations(path) -> pd.DataFrame:
+    """populations.csv: CountryName, RegionName, Code, Population2020, ...
+    Returns a frame indexed by GeoID with a Population2020 column."""
+    df = pd.read_csv(path, dtype={"CountryName": str, "RegionName": str})
+    df = df.assign(GeoID=_geo_id(df["CountryName"], df["RegionName"]))
+    return df.set_index("GeoID")
+
+
+def load_geo_list(path) -> list:
+    """countries_regions.csv -> list of GeoID strings to process."""
+    df = pd.read_csv(path, dtype={"CountryName": str, "RegionName": str})
+    return list(_geo_id(df["CountryName"], df["RegionName"]))
+
+
+def region_arrays(df: pd.DataFrame, geo_id: str,
+                  npi_columns: Optional[Sequence[str]] = None):
+    """Extract (confirmed, deaths, npis (T,P)) numpy arrays for one region."""
+    npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
+    sub = df[df["GeoID"] == geo_id]
+    return (sub["ConfirmedCases"].to_numpy(float),
+            sub["ConfirmedDeaths"].to_numpy(float),
+            sub[npi_columns].to_numpy(float))

@@ -1,0 +1,86 @@
+"""Synthetic OxCGRT-schema data generator for tests and benchmarks.
+
+Generates a multi-region epidemic dataset by rolling the SI-alpha model with
+region-specific parameters and NPI schedules, then assembling an OxCGRT-shaped
+DataFrame — the framework's equivalent of the reference's
+sim-then-re-estimate round-trip fixtures (testPrescribeXPRIZE01.m:100-119).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .preprocess import OXFORD_NPI_COLUMNS, NPI_MAXES_DEFAULT
+
+
+def _numpy_si_alpha_rollout(u, s0, i0, alpha0, u_max, alpha_min, alpha_max,
+                            gamma, a, b, beta, K, dt):
+    """Noise-free SI-alpha Euler rollout (Tools/SIalpha_Controlled.m
+    semantics), initial condition excluded from outputs."""
+    s = np.empty(K + 1); i = np.empty(K + 1); al = np.empty(K + 1)
+    s[0], i[0], al[0] = s0, i0, alpha0
+    for t in range(K):
+        s[t + 1] = min(1.0, max(0.0, s[t] - dt * al[t] * s[t] * i[t]))
+        i[t + 1] = min(1.0, max(0.0, i[t] + dt * (al[t] * s[t] * i[t]
+                                                  - beta * i[t])))
+        al[t + 1] = min(alpha_max, max(alpha_min, al[t] + dt * (
+            -gamma * al[t] + gamma * b + gamma * a @ (u_max - u[t]))))
+    return s[1:], i[1:], al[1:]
+
+
+def synthetic_oxford_frame(n_regions: int = 4, n_days: int = 240,
+                           start_date: str = "2020-03-01", seed: int = 0,
+                           npi_maxes=NPI_MAXES_DEFAULT, beta=None):
+    """Returns (df, truth) where df mimics the OxCGRT schema and truth holds
+    the per-region generating parameters for round-trip assertions."""
+
+    rng = np.random.default_rng(seed)
+    P = len(npi_maxes)
+    dates = pd.date_range(start_date, periods=n_days, freq="D")
+    rows = []
+    truth = {}
+    for r in range(n_regions):
+        pop = float(rng.integers(1_000_000, 80_000_000))
+        # keep the equilibrium contact rate b + a.(umax-u) near beta so the
+        # epidemic persists (alpha stays observable) and NPIs matter.
+        # Default beta matches the pipeline's assumed recovery rate
+        # (-ln(0.01)/21, PipelineConfig.beta_model) so sim->estimate round
+        # trips are well-specified.
+        beta_r = beta if beta is not None else 0.21925347571405505
+        a_true = 0.008 * rng.random(P)
+        b_true = beta_r * (0.75 + 0.2 * rng.random())
+        # piecewise-constant NPI schedule: levels change every ~30 days
+        n_seg = -(-n_days // 30)  # ceil: cover all days
+        seg_levels = rng.integers(0, np.asarray(npi_maxes, int) + 1,
+                                  size=(n_seg, P))
+        u = np.repeat(seg_levels, 30, axis=0)[:n_days].astype(float)
+        alpha0 = beta_r + np.log(2.2)  # outbreak initial contact rate
+        i0 = 50.0 / pop
+        s, i, al = _numpy_si_alpha_rollout(
+            u, 1.0 - i0, i0, alpha0, np.asarray(npi_maxes, float),
+            1e-8, 100.0, 1.0 / 7.0, a_true, b_true, beta_r, n_days, 1.0)
+        new_cases = s * i * al * pop
+        confirmed = np.cumsum(new_cases)
+        deaths = np.cumsum(0.01 * new_cases)
+        name = f"Synthland{r}"
+        truth[name + " "] = dict(a=a_true, b=b_true, beta=beta_r, pop=pop,
+                                 u=u, s=np.asarray(s), i=np.asarray(i),
+                                 alpha=np.asarray(al))
+        for t in range(n_days):
+            row = {"CountryName": name, "RegionName": np.nan,
+                   "Date": int(dates[t].strftime("%Y%m%d")),
+                   "ConfirmedCases": confirmed[t],
+                   "ConfirmedDeaths": deaths[t]}
+            for j, c in enumerate(OXFORD_NPI_COLUMNS[:P]):
+                row[c] = u[t, j]
+            rows.append(row)
+    df = pd.DataFrame(rows)
+    pops = pd.DataFrame({
+        "CountryName": [f"Synthland{r}" for r in range(n_regions)],
+        "RegionName": [np.nan] * n_regions,
+        "Code": [f"SY{r}" for r in range(n_regions)],
+        "Population2020": [truth[f"Synthland{r} "]["pop"]
+                           for r in range(n_regions)],
+    })
+    return df, pops, truth

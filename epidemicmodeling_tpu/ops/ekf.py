@@ -94,7 +94,7 @@ def _mrdivide(Bmat, Amat):
     jax.jit,
     static_argnames=(
         "system", "beta", "gamma_discount", "inv_monitor_len", "order",
-        "joseph", "smoother_gain",
+        "joseph", "smoother_gain", "symmetrize_covs", "adaptive_R_always",
     ),
 )
 def ekf_smoother(
@@ -116,6 +116,9 @@ def ekf_smoother(
     order: int = 1,                 # 1 = standard EKF, 2 = second-order EKF
     joseph: bool = True,            # Joseph-stabilized covariance update
     smoother_gain: str = "pinv",    # "pinv" (parity) | "solve" (fast path)
+    symmetrize_covs: bool = True,   # force P = (P+P')/2 (GEKF.m:138,161,226)
+    adaptive_R_always: bool = False,  # pre-generic estimators adapt R even
+                                      # for time-varying R (Rt_ExpFitEKF.m:97)
 ) -> EKFResult:
     """Run the forward EKF and backward fixed-interval smoother on one sequence.
 
@@ -151,7 +154,8 @@ def ekf_smoother(
 
     Q_seq, _fixed_Q = _normalize_cov(jnp.asarray(Q, dtype), T, m, "Q")
     R_seq, fixed_R = _normalize_cov(jnp.asarray(R, dtype), T, n, "R")
-    adaptive_R = (beta != 1.0) and fixed_R
+    adaptive_R = (beta != 1.0) and (fixed_R or adaptive_R_always)
+    sym = symmetrize if symmetrize_covs else (lambda M: M)
 
     L = int(inv_monitor_len)
     eps = jnp.finfo(dtype).eps
@@ -211,7 +215,7 @@ def ekf_smoother(
             P_upd = (IKC @ P_minus @ IKC.T + K @ DRD @ K.T) / gam
         else:
             P_upd = IKC @ P_minus / gam
-        P_plus = symmetrize(jnp.where(valid, P_upd, P_minus))
+        P_plus = sym(jnp.where(valid, P_upd, P_minus))
         s_plus = jnp.where(valid, s_minus + K @ innov, s_minus)
         s_plus = jnp.reshape(
             system.state_hard_margins(s_plus, params, k), (m,))
@@ -222,7 +226,7 @@ def ekf_smoother(
         s_next = jnp.reshape(s_next, (m,)) + fs + fw
         A, B = system.state_jacobians(u_k, s_plus, w_bar, params, k)
         A = jnp.reshape(A, (m, m))
-        P_next = symmetrize(A @ P_plus @ A.T + B @ Q_k @ B.T + Fsp + Fwp)
+        P_next = sym(A @ P_plus @ A.T + B @ Q_k @ B.T + Fsp + Fwp)
         s_next = jnp.reshape(
             system.state_hard_margins(s_next, params, k), (m,))
 
@@ -283,7 +287,7 @@ def ekf_smoother(
         J = jnp.where(bad, jnp.zeros_like(J_full), J_full)
         s_sm = s_plus_k + J @ (s_sm_next - s_minus_next)
         s_sm = jnp.reshape(system.state_hard_margins(s_sm, params, k), (m,))
-        P_sm = symmetrize(P_plus_k - J @ (P_minus_next - P_sm_next) @ J.T)
+        P_sm = sym(P_plus_k - J @ (P_minus_next - P_sm_next) @ J.T)
         u_sm_k, _ = system.nlin_state_update(u_k, s_sm, w_bar, params, k)
         return (s_sm, P_sm), (s_sm, P_sm, u_sm_k)
 

@@ -1,0 +1,22 @@
+from .config import PipelineConfig
+from .core import (
+    TrainedRegionParams,
+    train_regions,
+    forecast_scenarios,
+    pareto_prescribe,
+    monte_carlo_baseline,
+)
+from .train_predict_prescribe import train_predict_prescribe
+from .checkpoint import save_trained_params, load_trained_params
+
+__all__ = [
+    "PipelineConfig",
+    "TrainedRegionParams",
+    "train_regions",
+    "forecast_scenarios",
+    "pareto_prescribe",
+    "monte_carlo_baseline",
+    "train_predict_prescribe",
+    "save_trained_params",
+    "load_trained_params",
+]

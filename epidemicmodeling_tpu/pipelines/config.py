@@ -1,0 +1,72 @@
+"""Pipeline configuration.
+
+All the knobs that appear as constants at the top of
+Tools/TrainPredictPrescribeNPI.m:12-22 and the EKF settings at :224-237,
+gathered into one dataclass (SURVEY.md §5 'Config / flag system').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # data cleaning (TrainPredictPrescribeNPI.m:13-15)
+    smoothing_win: int = 7
+    min_cases: float = 1.0
+    first_num_days_for_case_estimation: int = 7
+
+    # SI-alpha model constants (:16-22, :212-231)
+    model_gamma_param: float = 7.0          # contact influence time constant
+    observation_type: str = "NEWCASES"      # or "TOTALCASES"
+    num_days_for_beta_calculation: float = 21.0
+    prob_contagion_after_Tdays: float = 0.01
+    R0: float = 2.5
+    dt: float = 1.0
+    alpha_min: float = 1e-8
+    alpha_max: float = 100.0
+    sigma: float = 1e6                      # bang-bang Jacobian band slope
+
+    # regression (:21-22)
+    regression_type: str = "NONNEGATIVELS"  # LASSO | NONNEGATIVELS |
+                                            # NONNEGATIVELS-ELEMENT-WISE
+    nonneg_iterations: int = 100
+    lasso_cv_folds: int = 50
+
+    # EKF settings (:224-237)
+    beta_ekf: float = 1.0                   # adaptive-R blending (1 = off)
+    gamma_ekf: float = 0.995                # gain stability discount
+    inv_monitor_len: int = 21
+    order: int = 1
+    alpha_noise_std: float = 1e-2
+    s_noise_factor: float = 10.0            # s_noise_std = factor*I0/N
+    i_noise_factor: float = 30.0
+    init_cov_factor: float = 10.0           # Ps_init stds = factor * noise std
+    obs_noise_factor: float = 0.1           # R_v = factor * (smooth resid)^2
+
+    # optimal control (:425-457)
+    lambda0: float = 0.0
+    q_lambda: float = 1e-4
+
+    # Monte-Carlo baseline (:497)
+    num_monte_carlo: int = 500
+
+    # execution
+    pareto_chunk: int = 32                  # epsilon values per device batch
+    stochastic_forecast: bool = False       # inject rollout process noise
+
+    @property
+    def gamma_model(self) -> float:
+        return 1.0 / (self.dt * self.model_gamma_param)
+
+    @property
+    def beta_model(self) -> float:
+        import math
+        Tdays = self.num_days_for_beta_calculation * self.dt
+        return -math.log(self.prob_contagion_after_Tdays) / Tdays
+
+    @property
+    def alpha0(self) -> float:
+        import math
+        return self.beta_model + math.log(self.R0) / self.dt

@@ -1,0 +1,481 @@
+"""Batched pipeline stages: two-round training, forecast scenarios, the
+Pareto prescription sweep, and the Monte-Carlo baseline.
+
+This is the TPU-native redesign of the reference's flagship per-region loop
+(Tools/TrainPredictPrescribeNPI.m:93-522): instead of iterating regions in
+Python, every stage is a vmapped kernel over an (R,)-batched RegionBatch;
+the Pareto sweep adds a second (E,) epsilon axis processed in fixed-size
+chunks so the 6-state EKS fits in HBM at E x R lane counts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import (
+    si_alpha_ekf_system,
+    si_alpha_costate_ekf_system,
+)
+from ..models.si_alpha import si_alpha_step
+from ..ops import ekf_smoother
+from ..regression import nnls_with_intercept, lasso_cv, \
+    robust_affine_fit_elementwise
+from ..control import npi_cost, random_npi_schedules
+from .config import PipelineConfig
+
+
+class RegionInit(NamedTuple):
+    """Per-region derived EKF initialization (R,)-batched."""
+    I0: jnp.ndarray           # (R,) initial case estimate
+    s_init: jnp.ndarray       # (R, 3)
+    Ps_init: jnp.ndarray      # (R, 3, 3)
+    Q: jnp.ndarray            # (R, 3, 3)
+    s_noise_std: jnp.ndarray  # (R,)
+    i_noise_std: jnp.ndarray  # (R,)
+
+
+class TrainedRegionParams(NamedTuple):
+    """The persisted training product (TrainPredictPrescribeNPI.m:910):
+    {CountryName, RegionName, N_population, reg_coef_b, reg_coef_a,
+     reg_coef_b2, reg_coef_a2} as (R,)-batched arrays."""
+    names: tuple
+    population: np.ndarray    # (R,)
+    a1: jnp.ndarray           # (R, P) round-1 NPI influence weights
+    b1: jnp.ndarray           # (R,)
+    a2: jnp.ndarray           # (R, P) round-2 (refined)
+    b2: jnp.ndarray           # (R,)
+
+
+class TrainOutputs(NamedTuple):
+    trained: TrainedRegionParams
+    init: RegionInit
+    s_smooth_round1: jnp.ndarray   # (R, T, 3)
+    s_smooth_round2: jnp.ndarray   # (R, T, 3)
+    rho_round1: jnp.ndarray        # (R, T)
+    rho_round2: jnp.ndarray        # (R, T)
+
+
+def region_init(batch, cfg: PipelineConfig) -> RegionInit:
+    """Derive per-region I0 and EKF initialization
+    (TrainPredictPrescribeNPI.m:200-237). Host-side numpy (data-dependent
+    first-positive search), done once per dataset."""
+    R, T = batch.observations.shape
+    nc_smooth = batch.new_cases_norm * batch.population[:, None]  # abs cases
+    I0 = np.zeros(R)
+    for r in range(R):
+        x = nc_smooth[r]
+        pos = x[np.isfinite(x) & (x > 0)][: cfg.first_num_days_for_case_estimation]
+        I0[r] = max(cfg.min_cases, float(pos.mean()) if pos.size else 0.0)
+    N = batch.population
+    s_noise = cfg.s_noise_factor * I0 / N
+    i_noise = cfg.i_noise_factor * I0 / N
+    a_noise = np.full(R, cfg.alpha_noise_std)
+    dt2 = cfg.dt ** 2
+    Q = dt2 * np.stack([np.diag(v) for v in
+                        np.stack([s_noise, i_noise, a_noise], -1) ** 2])
+    Ps = dt2 * np.stack([np.diag(v) for v in
+                         (cfg.init_cov_factor
+                          * np.stack([s_noise, i_noise, a_noise], -1)) ** 2])
+    s_init = np.stack([(N - I0) / N, I0 / N, np.full(R, cfg.alpha0)], -1)
+    return RegionInit(jnp.asarray(I0), jnp.asarray(s_init), jnp.asarray(Ps),
+                      jnp.asarray(Q), jnp.asarray(s_noise),
+                      jnp.asarray(i_noise))
+
+
+def _base_params(cfg: PipelineConfig, npi_mins, npi_maxes, R, dtype):
+    """Region-batched SI-alpha params dict with zero NPI influence."""
+    P = len(npi_maxes)
+    z = jnp.zeros((R,), dtype)
+    return {
+        "dt": z + cfg.dt,
+        "beta": z + cfg.beta_model,
+        "gamma": z + cfg.gamma_model,
+        "a": jnp.zeros((R, P), dtype),
+        "b": z,
+        "u_min": jnp.broadcast_to(jnp.asarray(npi_mins, dtype), (R, P)),
+        "u_max": jnp.broadcast_to(jnp.asarray(npi_maxes, dtype), (R, P)),
+        "s_min": z,  # filled per region below
+        "i_min": z,
+        "alpha_min": z + cfg.alpha_min,
+        "alpha_max": z + cfg.alpha_max,
+        "epsilon": z + jnp.nan,
+        "w": jnp.full((R, P), jnp.nan, dtype),
+        "sigma": z + cfg.sigma,
+    }
+
+
+def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
+    """vmapped 3-state EKF/EKS over the region axis."""
+    system = si_alpha_ekf_system(cfg.observation_type)
+    R = x.shape[0]
+    m = 3
+    params = dict(params)
+    R_v = params.pop("R_v")
+    sf = (jnp.full((R, m), jnp.nan, x.dtype) if s_final is None else s_final)
+    Pf = (jnp.full((R, m, m), jnp.nan, x.dtype) if Ps_final is None
+          else Ps_final)
+
+    def one(u_, x_, p_, si, Pi, sf_, Pf_, Q_, R_):
+        return ekf_smoother(system, u_, x_, p_, si, Pi, sf_, Pf_,
+                            Q=Q_, R=R_, beta=cfg.beta_ekf,
+                            gamma_discount=cfg.gamma_ekf,
+                            inv_monitor_len=cfg.inv_monitor_len,
+                            order=cfg.order)
+
+    return jax.vmap(one)(u, x, params, init.s_init, init.Ps_init, sf, Pf,
+                         init.Q, R_v)
+
+
+def _regress(cfg: PipelineConfig, x_data, y_data):
+    """Regression dispatch over one region: x_data (n, P), y_data (n,).
+    Returns (a (P,), b scalar)."""
+    if cfg.regression_type == "NONNEGATIVELS":
+        return nnls_with_intercept(x_data, y_data,
+                                   iterations=cfg.nonneg_iterations)
+    if cfg.regression_type == "LASSO":
+        coef, intercept, _ = lasso_cv(x_data, y_data,
+                                      n_folds=cfg.lasso_cv_folds)
+        return coef, intercept
+    if cfg.regression_type == "NONNEGATIVELS-ELEMENT-WISE":
+        return robust_affine_fit_elementwise(x_data, y_data)
+    raise ValueError(f"unknown regression_type {cfg.regression_type!r}")
+
+
+def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
+                  cfg: PipelineConfig = PipelineConfig(),
+                  dtype=None) -> TrainOutputs:
+    """Two-round EKF + regression training over all regions at once
+    (TrainPredictPrescribeNPI.m:199-354).
+
+    batch: RegionBatch over the TRAINING window (no forecast horizon).
+    """
+    fdtype = dtype or jnp.result_type(float)
+    R, T = batch.observations.shape
+    P = batch.npis.shape[-1]
+    obs = jnp.asarray(batch.observations, fdtype)
+    npis = jnp.asarray(batch.npis, fdtype)
+    init = region_init(batch, cfg)
+
+    params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
+    params["s_min"] = jnp.asarray(cfg.min_cases / batch.population, fdtype)
+    params["i_min"] = jnp.asarray(cfg.min_cases / batch.population, fdtype)
+    params["R_v"] = jnp.asarray(batch.obs_noise_var, fdtype)
+
+    # ROUND 1: zero control input, zero NPI influence (:199-248)
+    u_zero = jnp.zeros((R, T, P), fdtype)
+    res1 = _run_ekf3(cfg, u_zero, obs[..., None], dict(params), init)
+
+    # regression 1: alpha ~ (NPI_MAX - NPI) over the last regression window
+    x_data = (jnp.asarray(npi_maxes, fdtype)[None, None, :] - npis)
+    x_win = x_data[:, T - num_regression_days:, :]
+    y1 = res1.s_smooth[:, T - num_regression_days:, 2]
+    a1, b1 = jax.vmap(lambda xd, yd: _regress(cfg, xd, yd))(x_win, y1)
+
+    # ROUND 2: historic NPIs + learned influence (:295-307)
+    params2 = dict(params)
+    params2["a"] = a1
+    params2["b"] = b1
+    res2 = _run_ekf3(cfg, npis, obs[..., None], params2, init)
+
+    y2 = res2.s_smooth[:, T - num_regression_days:, 2]
+    a2, b2 = jax.vmap(lambda xd, yd: _regress(cfg, xd, yd))(x_win, y2)
+
+    trained = TrainedRegionParams(
+        names=batch.names, population=np.asarray(batch.population),
+        a1=a1, b1=b1, a2=a2, b2=b2)
+    return TrainOutputs(trained, init, res1.s_smooth, res2.s_smooth,
+                        res1.rho[..., 0, 0], res2.rho[..., 0, 0])
+
+
+class ScenarioResult(NamedTuple):
+    s: jnp.ndarray        # (R, T_full) susceptible trajectory
+    i: jnp.ndarray        # (R, T_full)
+    alpha: jnp.ndarray    # (R, T_full)
+    u: jnp.ndarray        # (R, T_full, P) applied NPI schedule
+    J0: jnp.ndarray       # (R,)
+    J1: jnp.ndarray       # (R,)
+
+
+def _rollout_from(cfg, init, params, s0, u_future, key=None):
+    """Stochastic/deterministic SI-alpha rollout from the end-of-history state
+    (Tools/SIalpha_Controlled.m semantics, batched over regions).
+
+    s0: (R, 3); u_future: (R, H, P). Returns (R, H, 3) trajectories (initial
+    condition excluded)."""
+    R, H, P = u_future.shape
+
+    def one(s0_r, u_r, noise_r, p_r):
+        pr = {"dt": p_r["dt"], "beta": p_r["beta"], "gamma": p_r["gamma"],
+              "a": p_r["a"], "b": p_r["b"], "u_max": p_r["u_max"],
+              "alpha_min": p_r["alpha_min"], "alpha_max": p_r["alpha_max"],
+              "s_noise_std": p_r["s_noise_std"],
+              "i_noise_std": p_r["i_noise_std"],
+              "alpha_noise_std": p_r["alpha_noise_std"]}
+
+        def body(carry, inp):
+            u_t, n_t = inp
+            nxt = si_alpha_step(carry, u_t, n_t, pr)
+            return nxt, nxt
+
+        _, traj = jax.lax.scan(body, s0_r, (u_r, noise_r))
+        return traj
+
+    if key is None or not cfg.stochastic_forecast:
+        noise = jnp.zeros((R, H, 3), s0.dtype)
+    else:
+        noise = jax.random.normal(key, (R, H, 3), s0.dtype)
+    p_batched = {
+        "dt": params["dt"], "beta": params["beta"], "gamma": params["gamma"],
+        "a": params["a"], "b": params["b"], "u_max": params["u_max"],
+        "alpha_min": params["alpha_min"], "alpha_max": params["alpha_max"],
+        "s_noise_std": init.s_noise_std, "i_noise_std": init.i_noise_std,
+        "alpha_noise_std": jnp.full_like(init.s_noise_std,
+                                         cfg.alpha_noise_std),
+    }
+    return jax.vmap(one)(s0, u_future, noise, p_batched)
+
+
+def forecast_scenarios(batch_full, trained: TrainedRegionParams,
+                       init: RegionInit, npi_weights, npi_mins, npi_maxes,
+                       T_hist: int, cfg: PipelineConfig = PipelineConfig(),
+                       actual_npis=None, key=None, dtype=None):
+    """Fixed / zero / max (+ optional actual) NPI forecast scenarios
+    (TrainPredictPrescribeNPI.m:367-412).
+
+    batch_full: RegionBatch over T_full = T_hist + horizon with NaN
+    observations in the horizon. Returns dict of ScenarioResult plus the
+    historic smoothed state trajectory (R, T_hist, 3).
+    """
+    fdtype = dtype or jnp.result_type(float)
+    R, T_full = batch_full.observations.shape
+    P = batch_full.npis.shape[-1]
+    H = T_full - T_hist
+    obs = jnp.asarray(batch_full.observations, fdtype)
+    npis = jnp.asarray(batch_full.npis, fdtype)
+
+    params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
+    params["s_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
+    params["i_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
+    params["R_v"] = jnp.asarray(batch_full.obs_noise_var, fdtype)
+    params["a"] = trained.a2
+    params["b"] = trained.b2
+
+    w_daywise = jnp.broadcast_to(
+        jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
+
+    ip_hist = npis[:, :T_hist, :]
+    ip_last = ip_hist[:, -1:, :]
+
+    # A) fixed-input scenario first: its smoothed states define the shared
+    # historic trajectory s_historic used by ALL scenario rollouts
+    # (TrainPredictPrescribeNPI.m:380-382,398,408,481).
+    u_fixed = jnp.concatenate(
+        [ip_hist[:, :-1, :], jnp.broadcast_to(ip_last, (R, H + 1, P))], axis=1)
+    res_fixed = _run_ekf3(cfg, u_fixed, obs[..., None], params, init)
+    s_hist = res_fixed.s_smooth[:, :T_hist, :]     # (R, T_hist, 3)
+
+    def scenario(u_full):
+        traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
+                             u_full[:, T_hist:, :], key)
+        s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
+        i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
+        al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
+        J0, J1 = npi_cost(s * i * al, jnp.swapaxes(u_full, 1, 2),
+                          jnp.swapaxes(w_daywise, 1, 2))
+        return ScenarioResult(s, i, al, u_full, J0, J1)
+
+    fixed = scenario(u_fixed)
+    # B) zero/min input (:394-402)
+    u_zero = jnp.concatenate(
+        [ip_hist[:, :-1, :],
+         jnp.broadcast_to(jnp.asarray(npi_mins, fdtype)[None, None, :],
+                          (R, H + 1, P))], axis=1)
+    zero = scenario(u_zero)
+    # C) max input (:404-412)
+    u_max_sched = jnp.concatenate(
+        [ip_hist[:, :-1, :],
+         jnp.broadcast_to(jnp.asarray(npi_maxes, fdtype)[None, None, :],
+                          (R, H + 1, P))], axis=1)
+    full = scenario(u_max_sched)
+
+    out = {"fixed": fixed, "zero": zero, "max": full}
+    if actual_npis is not None:
+        # Z) actual ground-truth NPIs (:367-370) — estimator validation; uses
+        # its own EKS trajectory rather than a rollout.
+        res_act = _run_ekf3(cfg, jnp.asarray(actual_npis, fdtype),
+                            obs[..., None], params, init)
+        s = res_act.s_smooth[..., 0]
+        i = res_act.s_smooth[..., 1]
+        al = res_act.s_smooth[..., 2]
+        u_act = jnp.asarray(actual_npis, fdtype)
+        J0, J1 = npi_cost(s * i * al, jnp.swapaxes(u_act, 1, 2),
+                          jnp.swapaxes(w_daywise, 1, 2))
+        out["actual"] = ScenarioResult(s, i, al, u_act, J0, J1)
+    return out, s_hist
+
+
+def pareto_prescribe(batch_full, trained: TrainedRegionParams,
+                     init: RegionInit, s_hist, epsilon_values, npi_weights,
+                     npi_mins, npi_maxes, T_hist: int,
+                     cfg: PipelineConfig = PipelineConfig(), key=None,
+                     dtype=None):
+    """The Pareto sweep (TrainPredictPrescribeNPI.m:414-494): for every
+    epsilon, run the 6-state optimal-control EKS with NaN future inputs and
+    costate terminal conditions, re-simulate the prescribed schedule, and
+    score (J0, J1).
+
+    epsilon is a second vmapped axis, processed in chunks of
+    ``cfg.pareto_chunk`` to bound HBM. Returns dict with J0/J1 (E, R),
+    trajectories (E, R, T_full) and prescriptions (E, R, H, P).
+    """
+    fdtype = dtype or jnp.result_type(float)
+    R, T_full = batch_full.observations.shape
+    P = batch_full.npis.shape[-1]
+    H = T_full - T_hist
+    E = len(epsilon_values)
+    obs = jnp.asarray(batch_full.observations, fdtype)
+    npis = jnp.asarray(batch_full.npis, fdtype)
+    system6 = si_alpha_costate_ekf_system(cfg.observation_type)
+
+    params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
+    params["s_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
+    params["i_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
+    params["a"] = trained.a2
+    params["b"] = trained.b2
+    params["w"] = jnp.broadcast_to(
+        jnp.asarray(npi_weights, fdtype)[None, :], (R, P))
+    R_v = jnp.asarray(batch_full.obs_noise_var, fdtype)
+
+    # 6-state augmentation (:425-457)
+    q_l = cfg.q_lambda
+    dt2 = cfg.dt ** 2
+    QQ = jnp.zeros((R, 6, 6), fdtype)
+    QQ = QQ.at[:, :3, :3].set(init.Q.astype(fdtype))
+    QQ = QQ.at[:, 3, 3].set(dt2 * q_l ** 2)
+    QQ = QQ.at[:, 4, 4].set(dt2 * q_l ** 2)
+    QQ = QQ.at[:, 5, 5].set(dt2 * q_l ** 2)
+    PPs = jnp.zeros((R, 6, 6), fdtype)
+    PPs = PPs.at[:, :3, :3].set(init.Ps_init.astype(fdtype))
+    PPs = PPs.at[:, 3, 3].set(10.0 * dt2 * q_l ** 2)
+    PPs = PPs.at[:, 4, 4].set(10.0 * dt2 * q_l ** 2)
+    PPs = PPs.at[:, 5, 5].set(10.0 * dt2 * q_l ** 2)
+    ss_init = jnp.concatenate(
+        [init.s_init.astype(fdtype),
+         jnp.full((R, 3), cfg.lambda0, fdtype)], axis=1)
+    # terminal conditions: zero costates, tiny costate covariance, state
+    # covariances pinned (finial_conditions_setup == 1, :444-453)
+    s_final = jnp.broadcast_to(
+        jnp.array([jnp.nan, jnp.nan, jnp.nan, 0.0, 0.0, 0.0], fdtype),
+        (R, 6))
+    Pf = jnp.zeros((6, 6), fdtype)
+    Pf = Pf.at[:3, :3].set(jnp.nan)
+    Pf = Pf.at[3, 3].set(1e-8).at[4, 4].set(1e-8).at[5, 5].set(1e-8)
+    Ps_final = jnp.broadcast_to(Pf, (R, 6, 6))
+
+    # inputs: historic NPIs then NaN (optimal control requested) (:458)
+    u_in = jnp.concatenate(
+        [npis[:, :T_hist, :], jnp.full((R, H, P), jnp.nan, fdtype)], axis=1)
+
+    w_daywise = jnp.broadcast_to(
+        jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
+
+    @jax.jit
+    def sweep_chunk(eps_chunk, key_chunk):
+        def per_eps(eps, k_eps):
+            p_eps = dict(params)
+            p_eps["epsilon"] = jnp.full((R,), eps, fdtype)
+
+            def one_region(u_, x_, p_, si, Pi, sf, Pfm, Q_, Rv_):
+                return ekf_smoother(system6, u_, x_, p_, si, Pi, sf, Pfm,
+                                    Q=Q_, R=Rv_, beta=cfg.beta_ekf,
+                                    gamma_discount=cfg.gamma_ekf,
+                                    inv_monitor_len=cfg.inv_monitor_len,
+                                    order=cfg.order)
+
+            res = jax.vmap(one_region)(u_in, obs[..., None], p_eps, ss_init,
+                                       PPs, s_final, Ps_final, QQ, R_v)
+            u_presc = res.u_opt_smooth[:, T_hist:, :]      # (R, H, P)
+            traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
+                                 u_presc, k_eps)
+            s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
+            i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
+            al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
+            u_sched = res.u_opt_smooth
+            J0, J1 = npi_cost(s * i * al, jnp.swapaxes(u_sched, 1, 2),
+                              jnp.swapaxes(w_daywise, 1, 2))
+            return J0, J1, s, i, al, u_presc
+
+        return jax.vmap(per_eps)(eps_chunk, key_chunk)
+
+    eps = np.asarray(epsilon_values, float)
+    chunk = cfg.pareto_chunk
+    E_pad = ((E + chunk - 1) // chunk) * chunk
+    eps_padded = np.concatenate([eps, np.full(E_pad - E, eps[-1])])
+    if key is None:
+        keys = jnp.zeros((E_pad, 2), jnp.uint32)
+    else:
+        keys = jax.random.split(key, E_pad)
+    outs = []
+    for c0 in range(0, E_pad, chunk):
+        outs.append(sweep_chunk(jnp.asarray(eps_padded[c0:c0 + chunk], fdtype),
+                                keys[c0:c0 + chunk]))
+    cat = lambda idx: jnp.concatenate([o[idx] for o in outs], axis=0)[:E]
+    return {
+        "J0": cat(0), "J1": cat(1), "s": cat(2), "i": cat(3),
+        "alpha": cat(4), "u_prescribed": cat(5),
+        "epsilon": jnp.asarray(eps, fdtype),
+    }
+
+
+def monte_carlo_baseline(batch_full, trained: TrainedRegionParams,
+                         init: RegionInit, s_hist, npi_weights, npi_mins,
+                         npi_maxes, T_hist: int,
+                         cfg: PipelineConfig = PipelineConfig(),
+                         key=None, dtype=None):
+    """500 random-NPI rollouts per region (TrainPredictPrescribeNPI.m:496-522):
+    half constant-over-time, half fully random; scored with npi_cost over the
+    [historic NPIs, random future] schedule. Returns J0, J1 of shape (N, R)."""
+    fdtype = dtype or jnp.result_type(float)
+    R, T_full = batch_full.observations.shape
+    P = batch_full.npis.shape[-1]
+    H = T_full - T_hist
+    N = cfg.num_monte_carlo
+    npis = jnp.asarray(batch_full.npis, fdtype)
+    ip_hist = npis[:, :T_hist, :]
+
+    params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
+    params["a"] = trained.a2
+    params["b"] = trained.b2
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_draw, k_noise = jax.random.split(key)
+    u_rand = random_npi_schedules(k_draw, N, npi_mins, npi_maxes, H)  # (N,H,P)
+    u_rand = u_rand.astype(fdtype)
+
+    w_daywise = jnp.broadcast_to(
+        jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
+
+    @jax.jit
+    def run_all():
+        def per_scenario(u_s, k_s):
+            traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
+                                 jnp.broadcast_to(u_s[None], (R, H, P)),
+                                 k_s if cfg.stochastic_forecast else None)
+            s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
+            i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
+            al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
+            u_full = jnp.concatenate(
+                [ip_hist, jnp.broadcast_to(u_s[None], (R, H, P))], axis=1)
+            return npi_cost(s * i * al, jnp.swapaxes(u_full, 1, 2),
+                            jnp.swapaxes(w_daywise, 1, 2))
+
+        keys = jax.random.split(k_noise, N)
+        return jax.vmap(per_scenario)(u_rand, keys)
+
+    J0, J1 = run_all()
+    return {"J0": J0, "J1": J1, "u_random": u_rand}

@@ -1,0 +1,173 @@
+"""The flagship end-to-end pipeline: train -> predict -> prescribe.
+
+TPU-native rebuild of Tools/TrainPredictPrescribeNPI.m (the XPRIZE product
+entry point, see SURVEY.md §3.1): per-region data cleaning feeds a fully
+batched two-round EKF+regression trainer, forecast scenarios, a vmapped
+Pareto epsilon sweep of the 6-state optimal-control EKS, and a Monte-Carlo
+random-policy baseline — no Python loop over regions anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data.preprocess import (preprocess_region, build_region_batch,
+                               OXFORD_NPI_COLUMNS)
+from ..data.oxford import load_oxford_data, load_populations, load_geo_list, \
+    region_arrays
+from ..control import pareto_front_mask
+from .config import PipelineConfig
+from .core import (train_regions, forecast_scenarios, pareto_prescribe,
+                   monte_carlo_baseline, TrainedRegionParams)
+
+
+class TrainPredictPrescribeResult(NamedTuple):
+    trained: TrainedRegionParams
+    scenarios: dict                # fixed/zero/max(/actual) ScenarioResult
+    pareto: dict                   # J0/J1 (E,R), trajectories, prescriptions
+    monte_carlo: dict              # J0/J1 (N,R)
+    pareto_front: np.ndarray       # (E, R) bool front membership per region
+    s_hist: jnp.ndarray            # (R, T_hist, 3) smoothed historic states
+    batch_train: object
+    batch_full: object
+
+
+def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
+                              end_predict, npi_columns=None,
+                              cfg: PipelineConfig = PipelineConfig()):
+    """Slice the OxCGRT frame into training and full-horizon RegionBatches.
+
+    Mirrors the driver-side data extraction of
+    Tools/TrainPredictPrescribeNPI.m:93-197: regions are keyed by
+    "Country Region", cropped to [start_train, end_train] for training, and
+    the forecast horizon to end_predict is appended as NaN observations.
+    Returns (batch_train, batch_full, actual_npis, T_hist, horizon).
+    """
+    npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
+    d0 = int(str(start_train).replace("-", ""))
+    d1 = int(str(end_train).replace("-", ""))
+    d2 = int(str(end_predict).replace("-", ""))
+    from ..utils.dates import num_days_between
+    horizon = num_days_between(str(end_train), str(end_predict))
+
+    series, names, actual_list = [], [], []
+    for gid in geo_ids:
+        sub = df[(df["GeoID"] == gid) & (df["DateNum"] >= d0)]
+        tr = sub[sub["DateNum"] <= d1]
+        if len(tr) < 2:
+            continue  # insufficient data: skipped with a warning (:103-106)
+        if gid not in pops_df.index:
+            continue
+        pop = float(np.atleast_1d(pops_df.loc[gid, "Population2020"])[0])
+        s = preprocess_region(tr["ConfirmedCases"].to_numpy(float),
+                              tr["ConfirmedDeaths"].to_numpy(float),
+                              tr[npi_columns].to_numpy(float), pop,
+                              smoothing_win=cfg.smoothing_win,
+                              obs_noise_factor=cfg.obs_noise_factor)
+        series.append(s)
+        names.append(gid)
+        ent = sub[sub["DateNum"] <= d2]
+        from .config import PipelineConfig as _PC  # noqa
+        from ..data.preprocess import forward_fill_npis
+        actual_list.append(forward_fill_npis(
+            ent[npi_columns].to_numpy(float)))
+    T_hist = max(s.npis.shape[0] for s in series)
+    batch_train = build_region_batch(series, names,
+                                    obs_type=cfg.observation_type)
+    batch_full = build_region_batch(series, names,
+                                    obs_type=cfg.observation_type,
+                                    horizon=horizon)
+    T_full = T_hist + horizon
+    P = len(npi_columns)
+    actual = np.zeros((len(series), T_full, P))
+    for r, u in enumerate(actual_list):
+        L = min(len(u), T_full)
+        actual[r, :L] = u[:L]
+        if L < T_full and L:
+            actual[r, L:] = u[L - 1]
+    return batch_train, batch_full, actual, T_hist, horizon
+
+
+def train_predict_prescribe(
+    npi_weights,
+    epsilon_values,
+    start_train_date: str,
+    end_train_date: str,
+    start_regression_date: str,
+    end_predict_date: str,
+    data_file,
+    geo_file,
+    populations_file,
+    npi_columns=None,
+    npi_mins=None,
+    npi_maxes=None,
+    trained_params_file: Optional[str] = None,
+    cfg: PipelineConfig = PipelineConfig(),
+    key=None,
+    dtype=None,
+) -> TrainPredictPrescribeResult:
+    """Drop-in equivalent of Tools/TrainPredictPrescribeNPI.m:1 with the same
+    argument intent (dates, files, NPI config, epsilon sweep, weights)."""
+    from ..utils.dates import num_days_between
+    npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
+    P = len(npi_columns)
+    npi_mins = np.zeros(P) if npi_mins is None else np.asarray(npi_mins, float)
+    if npi_maxes is None:
+        raise ValueError("npi_maxes is required (Oxford codebook maxima)")
+    npi_maxes = np.asarray(npi_maxes, float)
+    if not (num_days_between(start_train_date, end_train_date) >= 0
+            and num_days_between(end_train_date, end_predict_date) >= 0):
+        raise ValueError("Invalid input times order.")
+    num_regression_days = num_days_between(start_regression_date,
+                                           end_train_date)
+
+    df = load_oxford_data(data_file, npi_columns, start_train_date,
+                          end_predict_date)
+    pops = load_populations(populations_file)
+    geo_ids = [g for g in load_geo_list(geo_file)
+               if g in set(df["GeoID"])]
+
+    batch_train, batch_full, actual_npis, T_hist, horizon = \
+        build_batches_from_frames(df, pops, geo_ids, start_train_date,
+                                  end_train_date, end_predict_date,
+                                  npi_columns, cfg)
+
+    result = run_pipeline(batch_train, batch_full, actual_npis, T_hist,
+                          npi_weights, epsilon_values, npi_mins, npi_maxes,
+                          num_regression_days, cfg, key, dtype)
+    if trained_params_file:
+        from .checkpoint import save_trained_params
+        save_trained_params(trained_params_file, result.trained)
+    return result
+
+
+def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
+                 epsilon_values, npi_mins, npi_maxes, num_regression_days,
+                 cfg: PipelineConfig = PipelineConfig(), key=None,
+                 dtype=None) -> TrainPredictPrescribeResult:
+    """Run the batched compute pipeline on prepared RegionBatches."""
+    train_out = train_regions(batch_train, npi_mins, npi_maxes,
+                              num_regression_days, cfg, dtype)
+    scen, s_hist = forecast_scenarios(
+        batch_full, train_out.trained, train_out.init, npi_weights,
+        npi_mins, npi_maxes, T_hist, cfg,
+        actual_npis=actual_npis, key=key, dtype=dtype)
+    par = pareto_prescribe(
+        batch_full, train_out.trained, train_out.init, s_hist,
+        epsilon_values, npi_weights, npi_mins, npi_maxes, T_hist, cfg,
+        key=key, dtype=dtype)
+    mc = monte_carlo_baseline(
+        batch_full, train_out.trained, train_out.init, s_hist, npi_weights,
+        npi_mins, npi_maxes, T_hist, cfg, key=key, dtype=dtype)
+    # per-region Pareto-front membership (TrainPredictPrescribeNPI.m:624-628)
+    J0 = np.asarray(par["J0"])
+    J1 = np.asarray(par["J1"])
+    front = np.stack([np.asarray(pareto_front_mask(J0[:, r], J1[:, r]))
+                      for r in range(J0.shape[1])], axis=1)
+    return TrainPredictPrescribeResult(
+        trained=train_out.trained, scenarios=scen, pareto=par,
+        monte_carlo=mc, pareto_front=front, s_hist=s_hist,
+        batch_train=batch_train, batch_full=batch_full)

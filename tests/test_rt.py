@@ -1,0 +1,116 @@
+"""Rt estimator tests: exact recovery on clean exponentials, cross-method
+agreement (the reference's validation style, SURVEY.md §4 #3), and numpy-loop
+golden comparisons for the windowed closed forms."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from epidemicmodeling_tpu.rt import (
+    rt_expfit_gen_ratios, rt_expfit_log_lin_reg, rt_expfit_nonlin_ls,
+    rt_expfit_ekf)
+
+
+def make_exp_series(T=120, lam=0.03, A0=10.0):
+    t = np.arange(T)
+    return A0 * np.exp(lam * t)
+
+
+def test_gen_ratios_exact_on_exponential():
+    lam = 0.04
+    x = make_exp_series(100, lam)
+    Rt, Lambda, Rts, Lams = rt_expfit_gen_ratios(x, wlen=7,
+                                                 generation_period=3,
+                                                 time_unit=1.0)
+    np.testing.assert_allclose(np.asarray(Lambda[3:]), lam, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(Rt[3:]), np.exp(lam), rtol=1e-9)
+
+
+def numpy_log_lin_reg(x, wlen, time_unit, causal=True):
+    x = np.asarray(x, float)
+    L = len(x)
+    logx = np.log(x)
+    ALog = np.zeros(L)
+    r = np.zeros(L)
+    if causal:
+        n = np.arange(-wlen + 1, 1, dtype=float)
+        En, En2 = n.mean(), (n ** 2).mean()
+        Det = En2 - En ** 2
+        for mm in range(wlen - 1, L):
+            seg = logx[mm - wlen + 1: mm + 1]
+            ALog[mm] = (seg.mean() * En2 - (n * seg).mean() * En) / Det
+            r[mm] = ((n * seg).mean() - seg.mean() * En) / Det
+    else:
+        half = wlen // 2
+        n = np.arange(-half, half + 1, dtype=float)
+        En, En2 = n.mean(), (n ** 2).mean()
+        Det = En2 - En ** 2
+        for mm in range(half, L - half):
+            seg = logx[mm - half: mm + half + 1]
+            ALog[mm] = (seg.mean() * En2 - (n * seg).mean() * En) / Det
+            r[mm] = ((n * seg).mean() - seg.mean() * En) / Det
+    A = np.exp(ALog)
+    Rt = np.exp(r)
+    return Rt, A, r / time_unit, A * Rt
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_log_lin_reg_matches_numpy(causal):
+    rng = np.random.default_rng(0)
+    x = make_exp_series(90, 0.02) * np.exp(0.05 * rng.standard_normal(90))
+    got = rt_expfit_log_lin_reg(jnp.asarray(x), 14, 1.0, causal=causal)
+    ref = numpy_log_lin_reg(x, 14, 1.0, causal=causal)
+    for g, rr in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), rr, rtol=1e-9, atol=1e-12)
+
+
+def test_nonlin_ls_recovers_growth():
+    lam = 0.05
+    x = make_exp_series(80, lam, A0=20.0)
+    Rt, A, Lambda, Fit = rt_expfit_nonlin_ls(jnp.asarray(x), 14, 1.0)
+    np.testing.assert_allclose(np.asarray(Lambda[20:]), lam, rtol=1e-5)
+
+
+def test_nonlin_ls_skips_zero_windows():
+    x = make_exp_series(60, 0.03)
+    x[25] = 0.0
+    Rt, A, Lambda, Fit = rt_expfit_nonlin_ls(jnp.asarray(x), 10, 1.0)
+    Lambda = np.asarray(Lambda)
+    # windows overlapping the zero are skipped => lambda exactly 0 there
+    assert np.all(Lambda[25:35] == 0.0)
+    np.testing.assert_allclose(Lambda[45:], 0.03, rtol=1e-5)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_ekf_rt_tracks_exponential(order):
+    lam = 0.025
+    T = 150
+    x = make_exp_series(T, lam, A0=5.0)
+    res = rt_expfit_ekf(
+        jnp.asarray(x), s_init=jnp.array([5.0, 0.0]), time_scale=1.0,
+        alpha=1.0, sigma=1.0, w_bar=jnp.zeros(2), v_bar=jnp.zeros(1),
+        Ps_init=jnp.diag(jnp.array([1.0, 0.1])),
+        Q_w=jnp.diag(jnp.array([1e-2, 1e-4])), R_v=jnp.array([[1e-2]]),
+        order=order)
+    lam_est = np.asarray(res.s_smooth[:, 1])
+    assert abs(np.median(lam_est[T // 2:]) - lam) < 5e-3
+
+
+def test_cross_method_agreement():
+    """All four estimators must agree on the growth rate of a clean
+    exponential (test01FitExponential.m-style cross-validation)."""
+    lam = 0.03
+    T = 120
+    x = make_exp_series(T, lam)
+    _, l_gr, _, _ = rt_expfit_gen_ratios(x, 7, 3, 1.0)
+    _, _, l_lr, _ = rt_expfit_log_lin_reg(jnp.asarray(x), 14, 1.0)
+    _, _, l_ls, _ = rt_expfit_nonlin_ls(jnp.asarray(x), 14, 1.0)
+    res = rt_expfit_ekf(
+        jnp.asarray(x), s_init=jnp.array([10.0, 0.0]), time_scale=1.0,
+        alpha=1.0, sigma=1.0, w_bar=jnp.zeros(2), v_bar=jnp.zeros(1),
+        Ps_init=jnp.diag(jnp.array([1.0, 0.1])),
+        Q_w=jnp.diag(jnp.array([1e-2, 1e-4])), R_v=jnp.array([[1e-2]]))
+    sl = slice(T // 2, None)
+    for est in (np.asarray(l_gr)[sl], np.asarray(l_lr)[sl],
+                np.asarray(l_ls)[sl], np.asarray(res.s_smooth[sl, 1])):
+        assert abs(np.median(est) - lam) < 5e-3
