@@ -32,11 +32,22 @@ def epsilon_grid(n_points: int = 250, dtype=None):
 
 def pareto_front_mask(J0, J1):
     """Boolean mask of Pareto-efficient points: True where no other point has
-    strictly smaller J0 AND strictly smaller J1 (both minimized).
+    strictly smaller J0 AND strictly smaller J1 (both minimized)
+    (Tools/TrainPredictPrescribeNPI.m:624-628).
     J0, J1: (N,). O(N^2) pairwise — N <= 2000, one fused kernel."""
     J0 = jnp.asarray(J0)
     J1 = jnp.asarray(J1)
     dominated = (J0[None, :] < J0[:, None]) & (J1[None, :] < J1[:, None])
+    return ~jnp.any(dominated, axis=1)
+
+
+@jax.jit
+def pareto_front_mask_batched(J0, J1):
+    """Vectorized per-region front membership: J0, J1 (E, R) -> (E, R)."""
+    J0 = jnp.asarray(J0)
+    J1 = jnp.asarray(J1)
+    dominated = ((J0[None, :, :] < J0[:, None, :])
+                 & (J1[None, :, :] < J1[:, None, :]))   # (E, E, R)
     return ~jnp.any(dominated, axis=1)
 
 

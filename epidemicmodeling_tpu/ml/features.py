@@ -1,0 +1,58 @@
+"""Feature engineering for the ML pipeline.
+
+Reference behavior: testScripts/test04FullFeatureExtMLpipeline.m —
+holiday/long-weekend indicator (:96-100), lagged NPI feature stacking
+(:355), standardization, chronological train/test split (:293-383).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def lagged_features(X, lags):
+    """Stack lagged copies of the feature matrix: X (T, F) with lag list
+    [0, 1, 7, ...] -> (T, F * len(lags)); missing history zero-padded
+    (test04:355)."""
+    X = jnp.asarray(X)
+    T, F = X.shape
+    cols = []
+    for lag in lags:
+        if lag == 0:
+            cols.append(X)
+        else:
+            pad = jnp.zeros((lag, F), X.dtype)
+            cols.append(jnp.concatenate([pad, X[:-lag]], axis=0))
+    return jnp.concatenate(cols, axis=1)
+
+
+def long_weekend_feature(dates):
+    """1.0 on weekends and adjacent bridge days (the reference's holiday
+    long-weekend feature, test04:96-100). dates: sequence of ISO strings or
+    numpy datetime64."""
+    d = np.asarray(dates, dtype="datetime64[D]")
+    # 1970-01-01 (day 0) was a Thursday => +3 makes 0 = Monday
+    dow = ((d.astype("datetime64[D]").view("int64") + 3) % 7)
+    weekend = (dow == 5) | (dow == 6)
+    bridge = np.zeros_like(weekend)
+    # Friday before a Saturday, Monday after a Sunday
+    bridge[:-1] |= weekend[1:] & (dow[:-1] == 4)
+    bridge[1:] |= weekend[:-1] & (dow[1:] == 0)
+    return jnp.asarray((weekend | bridge).astype(float))
+
+
+def standardize(X, axis=0, eps=1e-12):
+    """(X - mean) / std along axis; returns (Xs, mean, std)."""
+    X = jnp.asarray(X)
+    mu = X.mean(axis=axis, keepdims=True)
+    sd = X.std(axis=axis, keepdims=True)
+    sd = jnp.where(sd > eps, sd, 1.0)
+    return (X - mu) / sd, mu, sd
+
+
+def train_test_split_time(X, y, train_fraction: float = 0.8):
+    """Chronological split (no shuffling — time series)."""
+    T = X.shape[0]
+    cut = int(T * train_fraction)
+    return (X[:cut], y[:cut]), (X[cut:], y[cut:])

@@ -9,6 +9,8 @@ from .si_alpha import (
     si_alpha_ekf_system,
 )
 from .costate import si_alpha_costate_ekf_system, bang_bang_fill
+from .backward import (si_alpha_backward_ekf_system,
+                       si_alpha_costate_backward_ekf_system)
 
 __all__ = [
     "EKFSystem",
@@ -25,4 +27,6 @@ __all__ = [
     "si_alpha_ekf_system",
     "si_alpha_costate_ekf_system",
     "bang_bang_fill",
+    "si_alpha_backward_ekf_system",
+    "si_alpha_costate_backward_ekf_system",
 ]

@@ -95,6 +95,7 @@ def _mrdivide(Bmat, Amat):
     static_argnames=(
         "system", "beta", "gamma_discount", "inv_monitor_len", "order",
         "joseph", "smoother_gain", "symmetrize_covs", "adaptive_R_always",
+        "outputs",
     ),
 )
 def ekf_smoother(
@@ -119,6 +120,9 @@ def ekf_smoother(
     symmetrize_covs: bool = True,   # force P = (P+P')/2 (GEKF.m:138,161,226)
     adaptive_R_always: bool = False,  # pre-generic estimators adapt R even
                                       # for time-varying R (Rt_ExpFitEKF.m:97)
+    outputs: str = "full",          # "light" skips stacking covariances /
+                                    # gains / innovations (None in result) —
+                                    # halves HBM traffic for big lane counts
 ) -> EKFResult:
     """Run the forward EKF and backward fixed-interval smoother on one sequence.
 
@@ -251,7 +255,12 @@ def ekf_smoother(
             R_next = R_carry
 
         new_carry = (s_next, P_next, R_next, mean_buf, cov_buf, covn_buf)
-        out = (s_minus, P_minus, s_plus, P_plus, K, innov, rho_k, u_opt_k)
+        if outputs == "light":
+            # P_minus/P_plus must still be stacked (the smoother consumes
+            # them) but they are freed after smoothing instead of returned
+            out = (s_minus, P_minus, s_plus, P_plus, u_opt_k)
+        else:
+            out = (s_minus, P_minus, s_plus, P_plus, K, innov, rho_k, u_opt_k)
         return new_carry, out
 
     init_carry = (
@@ -261,8 +270,14 @@ def ekf_smoother(
         jnp.zeros((L, n, n), dtype),
     )
     ks = jnp.arange(T)
-    _, (S_MINUS, P_MINUS, S_PLUS, P_PLUS, K_GAIN, innovations, rho, u_opt) = (
-        jax.lax.scan(forward_step, init_carry, (u, x, Q_seq, R_seq, ks)))
+    if outputs == "light":
+        _, (S_MINUS, P_MINUS, S_PLUS, P_PLUS, u_opt) = jax.lax.scan(
+            forward_step, init_carry, (u, x, Q_seq, R_seq, ks))
+        K_GAIN = innovations = rho = None
+    else:
+        _, (S_MINUS, P_MINUS, S_PLUS, P_PLUS, K_GAIN, innovations, rho,
+            u_opt) = jax.lax.scan(
+                forward_step, init_carry, (u, x, Q_seq, R_seq, ks))
 
     # ----- backward fixed-interval smoother (GEKF.m:188-230) -----
     # terminal boundary conditions (NaN = keep filter estimate; GEKF.m:194-202)
@@ -289,6 +304,8 @@ def ekf_smoother(
         s_sm = jnp.reshape(system.state_hard_margins(s_sm, params, k), (m,))
         P_sm = sym(P_plus_k - J @ (P_minus_next - P_sm_next) @ J.T)
         u_sm_k, _ = system.nlin_state_update(u_k, s_sm, w_bar, params, k)
+        if outputs == "light":
+            return (s_sm, P_sm), (s_sm, u_sm_k)
         return (s_sm, P_sm), (s_sm, P_sm, u_sm_k)
 
     rev = lambda a: jnp.flip(a, axis=0)
@@ -296,15 +313,22 @@ def ekf_smoother(
         rev(S_PLUS[:-1]), rev(S_MINUS[1:]), rev(P_PLUS[:-1]), rev(P_MINUS[1:]),
         rev(u[:-1]), rev(ks[:-1]),
     )
-    (_, _), (S_SM_rev, P_SM_rev, U_SM_rev) = jax.lax.scan(
-        backward_step, (sT, PT), xs_bwd)
+    if outputs == "light":
+        (_, _), (S_SM_rev, U_SM_rev) = jax.lax.scan(
+            backward_step, (sT, PT), xs_bwd)
+        P_SMOOTH = None
+    else:
+        (_, _), (S_SM_rev, P_SM_rev, U_SM_rev) = jax.lax.scan(
+            backward_step, (sT, PT), xs_bwd)
+        P_SMOOTH = jnp.concatenate([rev(P_SM_rev), PT[None]], axis=0)
     S_SMOOTH = jnp.concatenate([rev(S_SM_rev), sT[None]], axis=0)
-    P_SMOOTH = jnp.concatenate([rev(P_SM_rev), PT[None]], axis=0)
     # u_opt_smooth[T-1] stays zero — the reference smoother loop never writes
     # the last sample (GEKF.m:204-230)
     u_opt_smooth = jnp.concatenate(
         [rev(U_SM_rev), jnp.zeros_like(u[:1])], axis=0)
 
+    if outputs == "light":
+        P_MINUS = P_PLUS = None
     return EKFResult(
         u_opt=u_opt, u_opt_smooth=u_opt_smooth,
         s_minus=S_MINUS, s_plus=S_PLUS, s_smooth=S_SMOOTH,
@@ -345,14 +369,12 @@ def backward_ekf_smoother(system, u, x, params, s_init, Ps_init,
     conditions, runs the (sign-flipped dynamics) filter, and flips results
     back. The caller must supply a ``system`` whose dynamics are already the
     time-reversed equations (see models/backward.py); this helper performs the
-    flipping/bookkeeping.
+    flipping/bookkeeping. Noise schedules Q/R are passed through UNFLIPPED —
+    exactly like the reference (BackwardEKF.m:27 forwards R_v as-is).
     """
     rev = lambda a: None if a is None else jnp.flip(jnp.asarray(a), axis=0)
     u_r, x_r = rev(u), rev(x)
-    Q_arr = jnp.asarray(Q)
-    R_arr = jnp.asarray(R)
-    Q_r = rev(Q_arr) if Q_arr.ndim in (1, 3) and Q_arr.shape[0] == x.shape[0] else Q_arr
-    R_r = rev(R_arr) if R_arr.ndim in (1, 3) and R_arr.shape[0] == x.shape[0] else R_arr
     res = ekf_smoother(system, u_r, x_r, params, s_final, Ps_final,
-                       s_init, Ps_init, w_bar, v_bar, Q_r, R_r, **kw)
-    return EKFResult(*(jnp.flip(f, axis=0) for f in res))
+                       s_init, Ps_init, w_bar, v_bar, Q, R, **kw)
+    return EKFResult(*(None if f is None else jnp.flip(f, axis=0)
+                       for f in res))

@@ -1,0 +1,4 @@
+from .mesh import make_mesh, shard_batch_arrays, sharded_train_prescribe_step
+
+__all__ = ["make_mesh", "shard_batch_arrays",
+           "sharded_train_prescribe_step"]

@@ -55,6 +55,13 @@ class PipelineConfig:
     # execution
     pareto_chunk: int = 32                  # epsilon values per device batch
     stochastic_forecast: bool = False       # inject rollout process noise
+    smoother_gain: str = "pinv"             # "pinv" (MATLAB parity) |
+                                            # "solve" (TPU fast path; avoids
+                                            # per-step batched SVD)
+    backend: str = "vmap"                   # "vmap" (generic core) | "lanes"
+                                            # (batch-last TPU fast path for
+                                            # the Pareto sweep; see
+                                            # ops/ekf_bl.py)
 
     @property
     def gamma_model(self) -> float:

@@ -124,7 +124,8 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
                             Q=Q_, R=R_, beta=cfg.beta_ekf,
                             gamma_discount=cfg.gamma_ekf,
                             inv_monitor_len=cfg.inv_monitor_len,
-                            order=cfg.order)
+                            order=cfg.order,
+                            smoother_gain=cfg.smoother_gain)
 
     return jax.vmap(one)(u, x, params, init.s_init, init.Ps_init, sf, Pf,
                          init.Q, R_v)
@@ -322,7 +323,7 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
                      init: RegionInit, s_hist, epsilon_values, npi_weights,
                      npi_mins, npi_maxes, T_hist: int,
                      cfg: PipelineConfig = PipelineConfig(), key=None,
-                     dtype=None):
+                     dtype=None, mesh=None):
     """The Pareto sweep (TrainPredictPrescribeNPI.m:414-494): for every
     epsilon, run the 6-state optimal-control EKS with NaN future inputs and
     costate terminal conditions, re-simulate the prescribed schedule, and
@@ -383,6 +384,19 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     w_daywise = jnp.broadcast_to(
         jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
 
+    def finish_eps(res_u_opt_smooth, k_eps):
+        """Shared post-EKS scoring for one epsilon: rollout + costs.
+        res_u_opt_smooth: (R, T_full, P)."""
+        u_presc = res_u_opt_smooth[:, T_hist:, :]          # (R, H, P)
+        traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
+                             u_presc, k_eps)
+        s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
+        i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
+        al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
+        J0, J1 = npi_cost(s * i * al, jnp.swapaxes(res_u_opt_smooth, 1, 2),
+                          jnp.swapaxes(w_daywise, 1, 2))
+        return J0, J1, s, i, al, u_presc
+
     @jax.jit
     def sweep_chunk(eps_chunk, key_chunk):
         def per_eps(eps, k_eps):
@@ -394,22 +408,50 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
                                     Q=Q_, R=Rv_, beta=cfg.beta_ekf,
                                     gamma_discount=cfg.gamma_ekf,
                                     inv_monitor_len=cfg.inv_monitor_len,
-                                    order=cfg.order)
+                                    order=cfg.order, outputs="light",
+                                    smoother_gain=cfg.smoother_gain)
 
             res = jax.vmap(one_region)(u_in, obs[..., None], p_eps, ss_init,
                                        PPs, s_final, Ps_final, QQ, R_v)
-            u_presc = res.u_opt_smooth[:, T_hist:, :]      # (R, H, P)
-            traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
-                                 u_presc, k_eps)
-            s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
-            i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
-            al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
-            u_sched = res.u_opt_smooth
-            J0, J1 = npi_cost(s * i * al, jnp.swapaxes(u_sched, 1, 2),
-                              jnp.swapaxes(w_daywise, 1, 2))
-            return J0, J1, s, i, al, u_presc
+            return finish_eps(res.u_opt_smooth, k_eps)
 
         return jax.vmap(per_eps)(eps_chunk, key_chunk)
+
+    @jax.jit
+    def sweep_chunk_lanes(eps_chunk, key_chunk):
+        """Batch-last fast path (ops/ekf_bl.py): the (Ec, R) lane grid is
+        flattened with the lane axis LAST so the 6x6 covariance algebra rides
+        the 128-wide vector lanes instead of being padded to (8,128) tiles."""
+        from ..models.batch_last import si_alpha_costate_ekf_system_bl
+        from ..ops.ekf_bl import ekf_smoother_bl
+        Ec = eps_chunk.shape[0]
+        Bl = Ec * R
+
+        def tile_lanes(arr):
+            """(R, *dims) -> (*dims, Ec*R): tile over eps, lanes last."""
+            a = jnp.asarray(arr, fdtype)
+            a = jnp.moveaxis(a, 0, -1)                     # (*dims, R)
+            a = jnp.broadcast_to(a[..., None, :],
+                                 a.shape[:-1] + (Ec, R))
+            return a.reshape(a.shape[:-2] + (Bl,))
+
+        params_bl = {k: tile_lanes(v) for k, v in params.items()}
+        params_bl["epsilon"] = jnp.broadcast_to(
+            eps_chunk[:, None], (Ec, R)).reshape(Bl)
+
+        res = ekf_smoother_bl(
+            si_alpha_costate_ekf_system_bl(cfg.observation_type),
+            tile_lanes(u_in),                              # (T, P, Bl)
+            tile_lanes(obs),                               # (T, Bl)
+            params_bl,
+            tile_lanes(ss_init), tile_lanes(PPs),
+            tile_lanes(s_final), tile_lanes(Ps_final),
+            Q=tile_lanes(QQ), R=tile_lanes(R_v),
+            gamma_discount=cfg.gamma_ekf, joseph=True)
+        # (T, P, Bl) -> (Ec, R, T, P)
+        u_sm = jnp.moveaxis(res.u_opt_smooth.reshape(T_full, P, Ec, R),
+                            (2, 3), (0, 1))
+        return jax.vmap(finish_eps)(u_sm, key_chunk)
 
     eps = np.asarray(epsilon_values, float)
     chunk = cfg.pareto_chunk
@@ -421,8 +463,20 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
         keys = jax.random.split(key, E_pad)
     outs = []
     for c0 in range(0, E_pad, chunk):
-        outs.append(sweep_chunk(jnp.asarray(eps_padded[c0:c0 + chunk], fdtype),
-                                keys[c0:c0 + chunk]))
+        eps_chunk = jnp.asarray(eps_padded[c0:c0 + chunk], fdtype)
+        key_chunk = keys[c0:c0 + chunk]
+        if mesh is not None:
+            # shard the epsilon ensemble axis over the 'ep' mesh axis so the
+            # (E, R) lane grid occupies the full 2-D mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            eps_chunk = jax.device_put(
+                eps_chunk, NamedSharding(mesh, P("ep")))
+            key_chunk = jax.device_put(
+                key_chunk, NamedSharding(mesh, P("ep", None)))
+        if cfg.backend == "lanes":
+            outs.append(sweep_chunk_lanes(eps_chunk, key_chunk))
+        else:
+            outs.append(sweep_chunk(eps_chunk, key_chunk))
     cat = lambda idx: jnp.concatenate([o[idx] for o in outs], axis=0)[:E]
     return {
         "J0": cat(0), "J1": cat(1), "s": cat(2), "i": cat(3),

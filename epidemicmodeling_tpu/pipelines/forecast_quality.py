@@ -1,0 +1,133 @@
+"""Forecast-quality backtest: look-ahead error vs horizon.
+
+Reference behavior: Tools/ForecastQualityAssessment.m —
+- train front-end identical to the flagship (two EKF rounds + regression)
+- then for each holdout start day, NaN-mask the last ``start`` observations,
+  rerun the 3-state EKF/EKS with the ACTUAL historic NPIs, and record the
+  percent error of the reconstructed new-case curve at look-ahead horizons
+  1..MaxLookAheadDays (:374-416)
+- aggregate mean/median error-vs-horizon curves over start days (:423-429)
+
+This is the paper's headline quantitative evaluation
+(testScripts/testIEEEJSTSP2021ArticleResults.m). The reference reruns a full
+EKF per holdout day per region serially; here the holdout-start axis is a
+second vmapped batch dimension — all (region, start) filters run in one
+fused kernel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import ekf_smoother
+from ..models import si_alpha_ekf_system
+from .config import PipelineConfig
+from .core import train_regions, _base_params, RegionInit
+
+
+class BacktestResult(NamedTuple):
+    est_error_plus: jnp.ndarray     # (R, S, H) % error of filtered estimate
+    est_error_smooth: jnp.ndarray   # (R, S, H) % error of smoothed estimate
+    mean_error_smooth: jnp.ndarray  # (R, H) mean over valid start days
+    median_error_smooth: jnp.ndarray  # (R, H)
+    trained: object
+
+
+def forecast_quality_assessment(batch, npi_mins, npi_maxes,
+                                num_regression_days: int,
+                                num_forecast_days: int,
+                                max_look_ahead_days: int = 60,
+                                cfg: PipelineConfig = PipelineConfig(),
+                                dtype=None) -> BacktestResult:
+    """Run the look-ahead backtest over all regions.
+
+    batch: RegionBatch over the ENTIRE window (training + evaluation tail);
+    the last ``num_forecast_days`` days serve as holdout starts. Training
+    uses the window up to T - num_forecast_days.
+    """
+    fdtype = dtype or jnp.result_type(float)
+    R, T = batch.observations.shape
+    P = batch.npis.shape[-1]
+    S = num_forecast_days
+    H = max_look_ahead_days
+    T_train = T - num_forecast_days
+
+    # train on the head window (same front-end as the flagship)
+    import dataclasses
+    train_batch = batch._replace(
+        observations=batch.observations[:, :T_train],
+        new_cases_norm=batch.new_cases_norm[:, :T_train],
+        confirmed_norm=batch.confirmed_norm[:, :T_train],
+        npis=batch.npis[:, :T_train],
+        obs_noise_var=batch.obs_noise_var[:, :T_train])
+    train_out = train_regions(train_batch, npi_mins, npi_maxes,
+                              num_regression_days, cfg, dtype)
+    init = train_out.init
+
+    obs_full = jnp.asarray(batch.observations, fdtype)       # (R, T)
+    npis_full = jnp.asarray(batch.npis, fdtype)              # (R, T, P)
+    R_v = jnp.asarray(batch.obs_noise_var, fdtype)
+
+    params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
+    params["s_min"] = jnp.asarray(cfg.min_cases / batch.population, fdtype)
+    params["i_min"] = jnp.asarray(cfg.min_cases / batch.population, fdtype)
+    params["a"] = train_out.trained.a2
+    params["b"] = train_out.trained.b2
+
+    system = si_alpha_ekf_system(cfg.observation_type)
+    pop = jnp.asarray(batch.population, fdtype)
+
+    # ground-truth absolute smoothed new cases (R, T)
+    truth_cases = jnp.asarray(batch.new_cases_norm, fdtype) * pop[:, None]
+
+    starts = jnp.arange(1, S + 1)          # holdout lengths (days masked)
+    t_idx = jnp.arange(T)
+
+    @jax.jit
+    def run_all():
+        def per_region(obs_r, npis_r, p_r, si, Pi, Q_r, Rv_r, truth_r):
+            def per_start(start):
+                obs_masked = jnp.where(t_idx >= T - start, jnp.nan, obs_r)
+                res = ekf_smoother(
+                    system, npis_r, obs_masked[:, None], p_r, si, Pi,
+                    Q=Q_r, R=Rv_r, beta=cfg.beta_ekf,
+                    gamma_discount=cfg.gamma_ekf,
+                    inv_monitor_len=cfg.inv_monitor_len, order=cfg.order,
+                    smoother_gain=cfg.smoother_gain, outputs="light")
+                est_plus = (res.s_plus[:, 0] * res.s_plus[:, 1]
+                            * res.s_plus[:, 2]) * jnp.squeeze(
+                                jnp.atleast_1d(pop_r))
+                est_smooth = (res.s_smooth[:, 0] * res.s_smooth[:, 1]
+                              * res.s_smooth[:, 2]) * jnp.squeeze(
+                                  jnp.atleast_1d(pop_r))
+                err_plus = 100.0 * jnp.abs(truth_r - est_plus) / truth_r
+                err_smooth = 100.0 * jnp.abs(truth_r - est_smooth) / truth_r
+                # horizon h (1-based) maps to absolute day T - start + h - 1
+                days = T - start + jnp.arange(H)
+                valid = days < T
+                days_c = jnp.clip(days, 0, T - 1)
+                return (jnp.where(valid, err_plus[days_c], 0.0),
+                        jnp.where(valid, err_smooth[days_c], 0.0))
+
+            pop_r = jnp.squeeze(p_r.pop("population"))
+            return jax.vmap(per_start)(starts)
+
+        params_r = dict(params)
+        params_r["population"] = pop
+        return jax.vmap(per_region)(
+            obs_full, npis_full, params_r, init.s_init, init.Ps_init,
+            init.Q, R_v, truth_cases)
+
+    err_plus, err_smooth = run_all()     # (R, S, H)
+
+    # aggregate over start days with a full look-ahead window
+    # (the reference averages over rows MaxLookAheadDays..end, :423-429)
+    sel = slice(H - 1, None) if S >= H else slice(0, None)
+    mean_sm = jnp.mean(err_smooth[:, sel, :], axis=1)
+    med_sm = jnp.median(err_smooth[:, sel, :], axis=1)
+    return BacktestResult(err_plus, err_smooth, mean_sm, med_sm,
+                          train_out.trained)

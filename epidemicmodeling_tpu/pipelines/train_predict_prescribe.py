@@ -18,7 +18,7 @@ from ..data.preprocess import (preprocess_region, build_region_batch,
                                OXFORD_NPI_COLUMNS)
 from ..data.oxford import load_oxford_data, load_populations, load_geo_list, \
     region_arrays
-from ..control import pareto_front_mask
+from ..control import pareto_front_mask_batched
 from .config import PipelineConfig
 from .core import (train_regions, forecast_scenarios, pareto_prescribe,
                    monte_carlo_baseline, TrainedRegionParams)
@@ -163,10 +163,7 @@ def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
         batch_full, train_out.trained, train_out.init, s_hist, npi_weights,
         npi_mins, npi_maxes, T_hist, cfg, key=key, dtype=dtype)
     # per-region Pareto-front membership (TrainPredictPrescribeNPI.m:624-628)
-    J0 = np.asarray(par["J0"])
-    J1 = np.asarray(par["J1"])
-    front = np.stack([np.asarray(pareto_front_mask(J0[:, r], J1[:, r]))
-                      for r in range(J0.shape[1])], axis=1)
+    front = np.asarray(pareto_front_mask_batched(par["J0"], par["J1"]))
     return TrainPredictPrescribeResult(
         trained=train_out.trained, scenarios=scen, pareto=par,
         monte_carlo=mc, pareto_front=front, s_hist=s_hist,

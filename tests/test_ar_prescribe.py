@@ -1,0 +1,116 @@
+"""AR model + standalone prescriptor tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from epidemicmodeling_tpu.ops.ar import ar_fit, ar_fit_burg, ar_forecast
+from epidemicmodeling_tpu.pipelines.prescribe import (
+    new_case_ekf_optimal_npi, ar_alpha_prescription)
+from epidemicmodeling_tpu.models import si_alpha_backward_ekf_system
+from epidemicmodeling_tpu.ops import backward_ekf_smoother
+
+
+def test_ar_fit_recovers_ar2():
+    rng = np.random.default_rng(0)
+    a_true = np.array([-1.5, 0.7])  # y[t] = 1.5 y[t-1] - 0.7 y[t-2] + e
+    T = 4000
+    y = np.zeros(T)
+    e = 0.1 * rng.standard_normal(T)
+    for t in range(2, T):
+        y[t] = -a_true[0] * y[t - 1] - a_true[1] * y[t - 2] + e[t]
+    a, nv = ar_fit(jnp.asarray(y), 2)
+    np.testing.assert_allclose(np.asarray(a), a_true, atol=0.03)
+    assert abs(float(nv) - 0.01) < 0.002
+    a_b, nv_b = ar_fit_burg(jnp.asarray(y), 2)
+    np.testing.assert_allclose(np.asarray(a_b), a_true, atol=0.03)
+
+
+def test_ar_forecast_continues_sinusoid():
+    # an AR(2) with complex poles models a damped oscillation exactly
+    t = np.arange(200)
+    y = np.cos(0.2 * t)
+    a, nv = ar_fit(jnp.asarray(y), 2)
+    pred = ar_forecast(jnp.asarray(y), a, 0.0, 20, key=None)
+    truth = np.cos(0.2 * (200 + np.arange(20)))
+    np.testing.assert_allclose(np.asarray(pred), truth, atol=1e-3)
+
+
+def test_new_case_ekf_runs_and_prescribes():
+    from epidemicmodeling_tpu.models import SIAlphaParams
+    P = 12
+    T, T_hist = 80, 60
+    rng = np.random.default_rng(1)
+    u_max = np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4], float)
+    obs = np.abs(rng.normal(1e-4, 2e-5, T))
+    obs[T_hist:] = np.nan
+    u = rng.integers(0, 3, (T, P)).astype(float)
+    u[T_hist:] = np.nan
+    pr = SIAlphaParams(dt=1.0, beta=0.2, gamma=1 / 7, a=0.004 * rng.random(P),
+                       b=0.05, u_min=np.zeros(P), u_max=u_max, s_min=1e-6,
+                       i_min=1e-6, alpha_min=1e-8, alpha_max=100.0,
+                       epsilon=0.3, w=np.ones(P), sigma=1e6)
+    res = new_case_ekf_optimal_npi(
+        jnp.asarray(u), jnp.asarray(obs), pr,
+        jnp.array([0.999, 1e-4, 0.3, 0, 0, 0.0]),
+        jnp.diag(jnp.array([1e-4, 1e-6, 0.1, 1e-7, 1e-7, 1e-7])),
+        jnp.array([np.nan, np.nan, np.nan, 0, 0, 0.0]),
+        jnp.full((6, 6), np.nan).at[3, 3].set(1e-8).at[4, 4].set(1e-8)
+        .at[5, 5].set(1e-8),
+        Q=jnp.diag(jnp.array([1e-8, 1e-8, 1e-4, 1e-8, 1e-8, 1e-8])),
+        R=jnp.full(T, 4e-10))
+    u_pres = np.asarray(res.u_opt_smooth[T_hist:-1])
+    assert np.all((u_pres == 0) | (u_pres == u_max[None, :]))
+    assert np.isfinite(np.asarray(res.s_smooth)).all()
+
+
+def test_ar_alpha_prescription_end_to_end():
+    rng = np.random.default_rng(2)
+    T = 200
+    alpha_train = 0.2 + 0.05 * np.sin(0.05 * np.arange(T)) \
+        + 0.005 * rng.standard_normal(T)
+    P = 12
+    res = ar_alpha_prescription(
+        jnp.asarray(alpha_train), a_coef=0.004 * rng.random(P), b_coef=0.05,
+        beta_model=0.2, gamma_model=1 / 7, npi_mins=np.zeros(P),
+        npi_maxes=np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4]),
+        npi_weights=np.ones(P), s0=0.99, i0=1e-3, n_ahead=30,
+        n_monte_carlo=8, key=jax.random.PRNGKey(0))
+    assert res.alpha_forecast.shape == (30,)
+    assert res.J0_random.shape == (8,)
+    assert np.isfinite(np.asarray(res.J0_random)).all()
+    # forecast stays in a sane range around the training mean
+    assert 0.0 < float(np.mean(np.asarray(res.alpha_forecast))) < 0.5
+
+
+def test_backward_ekf_round_trip():
+    """Backward filtering on a deterministic trajectory: given the terminal
+    state as the (flipped) initial condition, the backward filter must track
+    the trajectory in reverse."""
+    from epidemicmodeling_tpu.models import si_alpha_controlled_rollout, \
+        SIAlphaParams
+    P = 12
+    T = 150
+    rng = np.random.default_rng(3)
+    u = rng.integers(0, 3, (T, P)).astype(float)
+    u_max = np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4], float)
+    a = 0.004 * rng.random(P)
+    s, i, al = si_alpha_controlled_rollout(
+        u, 0.99, 1e-3, 0.3, u_max, 1e-8, 100.0, 1 / 7, a, 0.15, 0.2,
+        0.0, 0.0, 0.0, T, 1.0)
+    obs = np.asarray(s * i * al)
+    pr = SIAlphaParams(dt=1.0, beta=0.2, gamma=1 / 7, a=a, b=0.15,
+                       u_min=np.zeros(P), u_max=u_max, s_min=1e-6,
+                       i_min=1e-6, alpha_min=1e-8, alpha_max=100.0)
+    s_term = jnp.array([float(s[-1]), float(i[-1]), float(al[-1])])
+    res = backward_ekf_smoother(
+        si_alpha_backward_ekf_system(), jnp.asarray(u), jnp.asarray(obs),
+        pr, s_init=jnp.full(3, jnp.nan), Ps_init=jnp.full((3, 3), jnp.nan),
+        s_final=s_term, Ps_final=jnp.diag(jnp.array([1e-6, 1e-8, 1e-2])),
+        Q=jnp.diag(jnp.array([1e-10, 1e-10, 1e-5])), R=jnp.full(T, 1e-12))
+    # note: backward wrapper swaps init/final, so s_final acts as the
+    # (time-flipped) initial condition. The filtered states tracked in
+    # reverse must reproduce the trajectory.
+    i_err = np.abs(np.asarray(res.s_plus[:, 1]) - np.asarray(i))
+    assert np.median(i_err[20:-20] / np.asarray(i)[20:-20]) < 0.1

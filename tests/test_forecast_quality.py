@@ -1,0 +1,45 @@
+"""Backtest pipeline tests: error grows with horizon, near-zero error at
+short horizons on clean synthetic data."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from epidemicmodeling_tpu.data import synthetic_oxford_frame
+from epidemicmodeling_tpu.data.preprocess import (
+    preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+from epidemicmodeling_tpu.pipelines import PipelineConfig
+from epidemicmodeling_tpu.pipelines.forecast_quality import \
+    forecast_quality_assessment
+
+
+@pytest.fixture(scope="module")
+def backtest_result():
+    _, _, truth = synthetic_oxford_frame(n_regions=3, n_days=220, seed=3)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc), None, tr["u"],
+                                      tr["pop"]))
+        names.append(name)
+    batch = build_region_batch(sers, names)
+    return forecast_quality_assessment(
+        batch, np.zeros(12), NPI_MAXES_DEFAULT,
+        num_regression_days=190, num_forecast_days=30,
+        max_look_ahead_days=20, cfg=PipelineConfig())
+
+
+def test_backtest_shapes(backtest_result):
+    res = backtest_result
+    assert res.est_error_smooth.shape == (3, 30, 20)
+    assert res.mean_error_smooth.shape == (3, 20)
+    assert np.isfinite(np.asarray(res.mean_error_smooth)).all()
+
+
+def test_error_grows_with_horizon(backtest_result):
+    """Median look-ahead error must be (weakly) larger at long horizons than
+    at day-1 — the qualitative shape of the paper's error curves."""
+    med = np.asarray(backtest_result.median_error_smooth)
+    assert np.all(med[:, 0] <= med[:, -1] + 1e-6)
+    # day-1 smoothed estimates on clean synthetic data are accurate
+    assert np.all(med[:, 0] < 20.0)

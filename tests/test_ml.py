@@ -1,0 +1,109 @@
+"""ML stack tests: custom layers, LSTM learns a sequence, linear/SVR
+baselines recover planted signals, feature engineering."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from epidemicmodeling_tpu.ml import (
+    ExpLayer, ScaledTanhLayer, LSTMForecaster, train_forecaster,
+    ridge_regression, arx_fit_predict, svr_fit, svr_predict,
+    lagged_features, long_weekend_feature, standardize,
+    train_test_split_time)
+
+
+def test_exp_layer_forward():
+    layer = ExpLayer(features=3)
+    x = jnp.ones((5, 3))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    alpha = params["params"]["alpha"]
+    np.testing.assert_allclose(np.asarray(out),
+                               np.exp(np.asarray(alpha) * np.ones((5, 3))),
+                               rtol=1e-6)
+
+
+def test_scaled_tanh_layer_saturates():
+    layer = ScaledTanhLayer(features=1)
+    x = jnp.array([[100.0]])
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    alpha = float(params["params"]["alpha"][0])
+    assert abs(float(out[0, 0]) - alpha * np.tanh(100.0 / alpha)) < 1e-6
+
+
+def test_lstm_learns_short_pattern():
+    """A small LSTM must fit a next-step prediction task on a sinusoid."""
+    t = np.arange(120, dtype=np.float64)
+    y = np.sin(0.3 * t)
+    x_in = y[:-1].reshape(-1, 1)
+    y_out = y[1:].reshape(-1, 1)
+    model = LSTMForecaster(hidden_sizes=(32,))
+    params, losses = train_forecaster(model, jnp.asarray(x_in),
+                                      jnp.asarray(y_out),
+                                      jax.random.PRNGKey(0), num_epochs=150,
+                                      lr=0.01, lr_drop_period=100)
+    assert losses[-1] < 0.01
+    assert losses[-1] < losses[0] / 10
+
+
+def test_ridge_recovers_coefficients():
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((200, 5))
+    w_true = np.array([1.0, -2.0, 0.5, 0.0, 3.0])
+    y = X @ w_true + 0.7 + 0.01 * rng.standard_normal(200)
+    w, b = ridge_regression(jnp.asarray(X), jnp.asarray(y), lam=1e-6)
+    np.testing.assert_allclose(np.asarray(w), w_true, atol=0.01)
+    assert abs(float(b) - 0.7) < 0.01
+
+
+def test_arx_predicts():
+    t = np.arange(300)
+    y = np.cos(0.1 * t)
+    a, pred = arx_fit_predict(y, order=4, n_ahead=10)
+    truth = np.cos(0.1 * (300 + np.arange(10)))
+    np.testing.assert_allclose(np.asarray(pred), truth, atol=1e-2)
+
+
+@pytest.mark.parametrize("kernel", ["linear", "rbf"])
+def test_svr_fits_linear_target(kernel):
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((150, 4))
+    w_true = np.array([0.5, -1.0, 0.2, 0.8])
+    y = X @ w_true + 0.02 * rng.standard_normal(150)
+    kw = dict(epsilon=0.01, n_steps=2500)
+    if kernel == "rbf":
+        kw["gamma"] = 0.1  # wide kernel for a near-linear target
+    model = svr_fit(jnp.asarray(X), jnp.asarray(y), kernel=kernel, **kw)
+    pred = np.asarray(svr_predict(model, jnp.asarray(X)))
+    rmse = np.sqrt(np.mean((pred - y) ** 2))
+    assert rmse < (0.1 if kernel == "linear" else 0.35)
+
+
+def test_lagged_features_shapes_and_content():
+    X = jnp.arange(10.0).reshape(10, 1)
+    out = np.asarray(lagged_features(X, [0, 2]))
+    assert out.shape == (10, 2)
+    np.testing.assert_allclose(out[:, 0], np.arange(10.0))
+    np.testing.assert_allclose(out[2:, 1], np.arange(8.0))
+    np.testing.assert_allclose(out[:2, 1], 0.0)
+
+
+def test_long_weekend_feature():
+    # 2020-03-02 was a Monday
+    dates = [f"2020-03-{d:02d}" for d in range(2, 16)]
+    f = np.asarray(long_weekend_feature(dates))
+    # Sat 2020-03-07, Sun 2020-03-08 flagged; Fri 6th & Mon 9th are bridges
+    assert f[5] == 1.0 and f[6] == 1.0  # Sat, Sun
+    assert f[4] == 1.0 and f[7] == 1.0  # bridge Fri, Mon
+    assert f[0] == 0.0 and f[2] == 0.0  # mid-week
+
+
+def test_standardize_and_split():
+    X = jnp.asarray(np.random.default_rng(0).standard_normal((50, 3)) * 5 + 2)
+    Xs, mu, sd = standardize(X)
+    np.testing.assert_allclose(np.asarray(Xs.mean(axis=0)), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Xs.std(axis=0)), 1.0, atol=1e-9)
+    (Xtr, ytr), (Xte, yte) = train_test_split_time(X, X[:, 0], 0.8)
+    assert Xtr.shape[0] == 40 and Xte.shape[0] == 10
