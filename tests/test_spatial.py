@@ -146,3 +146,15 @@ def test_agents_respect_walls():
                  plan_np.shape[1] - 1).astype(int)
     frac_inside = (plan_np[ix, iy] > 0).mean()
     assert frac_inside < 0.15  # most agents outside walls (noise can pin a few at the clipped boundary)
+
+
+def test_walking_sources_inject_and_diffuse():
+    from epidemicmodeling_tpu.spatial.walkers import walking_sources_sim
+    C, traj = walking_sources_sim(51, 51, n_walkers=2, n_steps=100, D=1e-1,
+                                  dt=0.01, dx=0.1, dy=0.1, exhale=1.0,
+                                  key=jax.random.PRNGKey(0))
+    assert traj.shape == (100, 2, 2)
+    total = float(C.sum())
+    # ~200 units injected; diffusion conserves interior mass
+    assert 150.0 < total <= 200.0 + 1e-6
+    assert (np.asarray(traj) >= 1).all()
