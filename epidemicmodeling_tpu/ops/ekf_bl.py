@@ -125,11 +125,13 @@ class EKFResultBL(NamedTuple):
     s_minus: jnp.ndarray        # (T, m, B)
     s_plus: jnp.ndarray         # (T, m, B)
     s_smooth: jnp.ndarray       # (T, m, B)
+    rho: Optional[jnp.ndarray] = None   # (T, B) innovation whiteness monitor
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("system", "gamma_discount", "joseph"),
+    static_argnames=("system", "gamma_discount", "joseph",
+                     "inv_monitor_len"),
 )
 def ekf_smoother_bl(
     system: EKFSystemBL,
@@ -144,6 +146,8 @@ def ekf_smoother_bl(
     R=None,                    # (T, B) scalar obs noise variance schedule
     gamma_discount: float = 1.0,
     joseph: bool = True,
+    inv_monitor_len: int = 0,   # >0: compute the innovation whiteness
+                                # monitor rho (GEKF.m:171-179)
 ) -> EKFResultBL:
     """Order-1, n=1, beta=1 (no adaptive R) batch-last EKF/EKS."""
     m = system.state_dim
@@ -156,8 +160,14 @@ def ekf_smoother_bl(
     if Ps_final is None:
         Ps_final = jnp.full((m, m, B), jnp.nan, dtype)
 
+    L_mon = int(inv_monitor_len)
+    eps_mon = jnp.finfo(dtype).eps
+
     def forward_step(carry, inp):
-        s_minus, P_minus = carry
+        if L_mon:
+            s_minus, P_minus, mean_buf, covn_buf = carry
+        else:
+            s_minus, P_minus = carry
         u_k, x_k, R_k, k = inp
 
         C = system.obs_jacobian_row(s_minus, params, k)            # (m, B)
@@ -190,11 +200,28 @@ def ekf_smoother_bl(
         P_next = _sym(_mmT(_mm(A, P_plus, m), A, m) + Q)
         s_next = system.state_hard_margins(s_next, params, k)
 
+        if L_mon:
+            cnt = jnp.minimum(k + 1, L_mon).astype(dtype)
+            mean_buf_n = jnp.concatenate([innov[None], mean_buf[:-1]])
+            mu = jnp.sum(mean_buf_n, axis=0) / cnt
+            cc = (innov - mu) ** 2
+            covn_buf_n = jnp.concatenate([(cc / (R_k + eps_mon))[None],
+                                          covn_buf[:-1]])
+            rho_k = jnp.sum(covn_buf_n, axis=0) / cnt
+            return ((s_next, P_next, mean_buf_n, covn_buf_n),
+                    (s_minus, P_minus, s_plus, P_plus, u_opt_k, rho_k))
         return (s_next, P_next), (s_minus, P_minus, s_plus, P_plus, u_opt_k)
 
     ks = jnp.arange(T)
-    (_, _), (S_MINUS, P_MINUS, S_PLUS, P_PLUS, u_opt) = jax.lax.scan(
-        forward_step, (s_init, Ps_init), (u, x, R, ks))
+    if L_mon:
+        init_carry = (s_init, Ps_init, jnp.zeros((L_mon, B), dtype),
+                      jnp.zeros((L_mon, B), dtype))
+        _, (S_MINUS, P_MINUS, S_PLUS, P_PLUS, u_opt, RHO) = jax.lax.scan(
+            forward_step, init_carry, (u, x, R, ks))
+    else:
+        (_, _), (S_MINUS, P_MINUS, S_PLUS, P_PLUS, u_opt) = jax.lax.scan(
+            forward_step, (s_init, Ps_init), (u, x, R, ks))
+        RHO = None
 
     sT = jnp.where(jnp.isnan(s_final), S_PLUS[-1], s_final)
     PT = jnp.where(jnp.isnan(Ps_final), P_PLUS[-1], Ps_final)
@@ -225,4 +252,5 @@ def ekf_smoother_bl(
                                     jnp.zeros_like(u[:1])], axis=0)
 
     return EKFResultBL(u_opt=u_opt, u_opt_smooth=u_opt_smooth,
-                       s_minus=S_MINUS, s_plus=S_PLUS, s_smooth=S_SMOOTH)
+                       s_minus=S_MINUS, s_plus=S_PLUS, s_smooth=S_SMOOTH,
+                       rho=RHO)

@@ -109,8 +109,9 @@ def _base_params(cfg: PipelineConfig, npi_mins, npi_maxes, R, dtype):
 
 
 def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
-    """vmapped 3-state EKF/EKS over the region axis."""
-    system = si_alpha_ekf_system(cfg.observation_type)
+    """3-state EKF/EKS over the region axis: vmapped generic core, or the
+    batch-last fast path when the configuration allows it (order 1, no
+    adaptive R)."""
     R = x.shape[0]
     m = 3
     params = dict(params)
@@ -118,6 +119,28 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
     sf = (jnp.full((R, m), jnp.nan, x.dtype) if s_final is None else s_final)
     Pf = (jnp.full((R, m, m), jnp.nan, x.dtype) if Ps_final is None
           else Ps_final)
+
+    if (cfg.backend == "lanes" and cfg.order == 1 and cfg.beta_ekf == 1.0):
+        from ..models.batch_last import si_alpha_ekf_system_bl
+        from ..ops.ekf_bl import ekf_smoother_bl
+        bl = lambda a: jnp.moveaxis(jnp.asarray(a), 0, -1)
+        res = ekf_smoother_bl(
+            si_alpha_ekf_system_bl(cfg.observation_type),
+            bl(u), jnp.asarray(x)[..., 0].T, jax.tree.map(bl, params),
+            bl(init.s_init), bl(init.Ps_init), bl(sf), bl(Pf),
+            Q=bl(init.Q), R=jnp.asarray(R_v).T,
+            gamma_discount=cfg.gamma_ekf, joseph=True,
+            inv_monitor_len=cfg.inv_monitor_len)
+        unbl = lambda a: jnp.moveaxis(a, -1, 0)
+        from ..ops.ekf import EKFResult
+        return EKFResult(
+            u_opt=unbl(res.u_opt), u_opt_smooth=unbl(res.u_opt_smooth),
+            s_minus=unbl(res.s_minus), s_plus=unbl(res.s_plus),
+            s_smooth=unbl(res.s_smooth), P_minus=None, P_plus=None,
+            P_smooth=None, K_gain=None, innovations=None,
+            rho=unbl(res.rho)[..., None, None])
+
+    system = si_alpha_ekf_system(cfg.observation_type)
 
     def one(u_, x_, p_, si, Pi, sf_, Pf_, Q_, R_):
         return ekf_smoother(system, u_, x_, p_, si, Pi, sf_, Pf_,

@@ -98,3 +98,50 @@ def test_bl_matches_generic(with_costates, nan_tail):
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(res.u_opt_smooth), -1, 0),
         np.asarray(ref.u_opt_smooth), rtol=1e-7, atol=1e-9)
+
+
+def test_pipeline_backends_agree():
+    """train + scenarios + pareto must produce identical results on the
+    generic (vmap) and batch-last (lanes) backends at f64."""
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import (
+        train_regions, forecast_scenarios, pareto_prescribe)
+    from epidemicmodeling_tpu.control import epsilon_grid
+
+    _, _, truth = synthetic_oxford_frame(n_regions=3, n_days=130, seed=5)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:110], None,
+                                      tr["u"][:110], tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names)
+    bf = build_region_batch(sers, names, horizon=20)
+    eps = np.asarray(epsilon_grid(6))
+    out = {}
+    for backend in ["vmap", "lanes"]:
+        cfg = PipelineConfig(smoother_gain="solve", backend=backend,
+                             pareto_chunk=3)
+        to = train_regions(bt, np.zeros(12), NPI_MAXES_DEFAULT, 110, cfg)
+        scen, s_hist = forecast_scenarios(
+            bf, to.trained, to.init, np.ones(12), np.zeros(12),
+            NPI_MAXES_DEFAULT, 110, cfg)
+        par = pareto_prescribe(bf, to.trained, to.init, s_hist, eps,
+                               np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT,
+                               110, cfg)
+        out[backend] = (to, scen, par)
+    np.testing.assert_allclose(np.asarray(out["vmap"][0].trained.a2),
+                               np.asarray(out["lanes"][0].trained.a2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["vmap"][0].rho_round2),
+                               np.asarray(out["lanes"][0].rho_round2)
+                               .reshape(np.asarray(out["vmap"][0].rho_round2).shape),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["vmap"][1]["fixed"].J0),
+                               np.asarray(out["lanes"][1]["fixed"].J0),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out["vmap"][2]["J0"]),
+                               np.asarray(out["lanes"][2]["J0"]), rtol=1e-9)
