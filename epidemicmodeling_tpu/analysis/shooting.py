@@ -121,3 +121,55 @@ def si_continuous_control(A_coefs, w, u_min, u_max, gamma, beta, s0, i0,
             jnp.asarray(rho0, fdtype), jnp.asarray(lambda20, fdtype))
     _, (s, i, al, u, J0, J1) = jax.lax.scan(step, init, w)
     return dict(s=s, i=i, alpha=al, u=u, J0=J0, J1=J1)
+
+
+def si_alpha_multiplicative_shooting(epsilon, w, a, c, u_min, u_max, beta,
+                                     s0, i0, alpha0, lambda_init, K, dt,
+                                     alpha_min=0.0, alpha_max=jnp.inf,
+                                     u_schedule=None):
+    """Modified multiplicative-input model
+    (testScripts/testSIModelOptimalControl03.m:64-94): the contact rate decays
+    proportionally to the applied NPIs, alpha' = -alpha*(a.u + c), with
+    switching function phi = epsilon*w - lambda3*alpha*a and matching costate
+    dynamics. Returns ShootingResult."""
+    P = jnp.asarray(a).shape[0]
+    fdtype = jnp.result_type(float)
+    w = jnp.asarray(w, fdtype)
+    if w.ndim == 1:
+        w = jnp.broadcast_to(w[None, :], (K, P))
+    a = jnp.asarray(a, fdtype).reshape(P)
+    u_min = jnp.asarray(u_min, fdtype).reshape(P)
+    u_max = jnp.asarray(u_max, fdtype).reshape(P)
+    if u_schedule is not None:
+        u_schedule = jnp.asarray(u_schedule, fdtype).reshape(K, P)
+
+    def step(carry, inp):
+        s, i, al, l1, l2, l3 = carry
+        w_t, u_fixed = inp
+        rho = l1 - l2 - (1.0 - epsilon)
+        phi = epsilon * w_t - l3 * al * a
+        u_opt = jnp.where(phi >= 0, u_min, u_max)
+        u_t = u_opt if u_schedule is None else u_fixed
+        au = jnp.dot(a, u_t) + c
+
+        H = (-rho * al * s * i - beta * l2 * i
+             + epsilon * jnp.dot(w_t, u_t) - l3 * al * au)
+        J0 = al * s * i
+        J1 = jnp.dot(w_t, u_t)
+
+        l1n = l1 + dt * rho * al * i
+        l2n = l2 + dt * (rho * al * s + beta * l2)
+        l3n = l3 + dt * (rho * s * i + l3 * au)
+        sn = clip_lo_hi(s - dt * al * s * i, 0.0, 1.0)
+        i_n = clip_lo_hi(i + dt * (al * s * i - beta * i), 0.0, 1.0)
+        aln = clip_lo_hi(al - dt * al * au, alpha_min, alpha_max)
+        out = (s, i, al, jnp.stack([l1, l2, l3]), u_t, H, J0, J1)
+        return (sn, i_n, aln, l1n, l2n, l3n), out
+
+    init = tuple(jnp.asarray(v, fdtype) for v in
+                 (s0, i0, alpha0, lambda_init[0], lambda_init[1],
+                  lambda_init[2]))
+    u_xs = (u_schedule if u_schedule is not None
+            else jnp.zeros((K, P), fdtype))
+    _, (s, i, al, lam, u, H, J0, J1) = jax.lax.scan(step, init, (w, u_xs))
+    return ShootingResult(s, i, al, lam, u, H, J0, J1)

@@ -131,7 +131,7 @@ class EKFResultBL(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("system", "gamma_discount", "joseph",
-                     "inv_monitor_len"),
+                     "inv_monitor_len", "unroll"),
 )
 def ekf_smoother_bl(
     system: EKFSystemBL,
@@ -148,6 +148,8 @@ def ekf_smoother_bl(
     joseph: bool = True,
     inv_monitor_len: int = 0,   # >0: compute the innovation whiteness
                                 # monitor rho (GEKF.m:171-179)
+    unroll: int = 1,            # lax.scan unroll factor (amortizes per-step
+                                # sequencing overhead on TPU)
 ) -> EKFResultBL:
     """Order-1, n=1, beta=1 (no adaptive R) batch-last EKF/EKS."""
     m = system.state_dim
@@ -217,10 +219,10 @@ def ekf_smoother_bl(
         init_carry = (s_init, Ps_init, jnp.zeros((L_mon, B), dtype),
                       jnp.zeros((L_mon, B), dtype))
         _, (S_MINUS, P_MINUS, S_PLUS, P_PLUS, u_opt, RHO) = jax.lax.scan(
-            forward_step, init_carry, (u, x, R, ks))
+            forward_step, init_carry, (u, x, R, ks), unroll=unroll)
     else:
         (_, _), (S_MINUS, P_MINUS, S_PLUS, P_PLUS, u_opt) = jax.lax.scan(
-            forward_step, (s_init, Ps_init), (u, x, R, ks))
+            forward_step, (s_init, Ps_init), (u, x, R, ks), unroll=unroll)
         RHO = None
 
     sT = jnp.where(jnp.isnan(s_final), S_PLUS[-1], s_final)
@@ -246,7 +248,7 @@ def ekf_smoother_bl(
     xs_bwd = (rev(S_PLUS[:-1]), rev(S_MINUS[1:]), rev(P_PLUS[:-1]),
               rev(P_MINUS[1:]), rev(u[:-1]), rev(ks[:-1]))
     (_, _), (S_SM_rev, U_SM_rev) = jax.lax.scan(
-        backward_step, (sT, PT), xs_bwd)
+        backward_step, (sT, PT), xs_bwd, unroll=unroll)
     S_SMOOTH = jnp.concatenate([rev(S_SM_rev), sT[None]], axis=0)
     u_opt_smooth = jnp.concatenate([rev(U_SM_rev),
                                     jnp.zeros_like(u[:1])], axis=0)

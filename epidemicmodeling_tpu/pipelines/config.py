@@ -62,6 +62,9 @@ class PipelineConfig:
                                             # (batch-last TPU fast path for
                                             # the Pareto sweep; see
                                             # ops/ekf_bl.py)
+    scan_unroll: int = 1                    # lax.scan unroll for the lanes
+                                            # core (amortizes per-step
+                                            # dispatch overhead)
 
     @property
     def gamma_model(self) -> float:

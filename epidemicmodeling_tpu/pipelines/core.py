@@ -130,7 +130,7 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
             bl(init.s_init), bl(init.Ps_init), bl(sf), bl(Pf),
             Q=bl(init.Q), R=jnp.asarray(R_v).T,
             gamma_discount=cfg.gamma_ekf, joseph=True,
-            inv_monitor_len=cfg.inv_monitor_len)
+            inv_monitor_len=cfg.inv_monitor_len, unroll=cfg.scan_unroll)
         unbl = lambda a: jnp.moveaxis(a, -1, 0)
         from ..ops.ekf import EKFResult
         return EKFResult(
@@ -470,11 +470,72 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
             tile_lanes(ss_init), tile_lanes(PPs),
             tile_lanes(s_final), tile_lanes(Ps_final),
             Q=tile_lanes(QQ), R=tile_lanes(R_v),
-            gamma_discount=cfg.gamma_ekf, joseph=True)
-        # (T, P, Bl) -> (Ec, R, T, P)
-        u_sm = jnp.moveaxis(res.u_opt_smooth.reshape(T_full, P, Ec, R),
-                            (2, 3), (0, 1))
-        return jax.vmap(finish_eps)(u_sm, key_chunk)
+            gamma_discount=cfg.gamma_ekf, joseph=True,
+            unroll=cfg.scan_unroll)
+
+        # rollout + scoring fully lanes-last (no big transposes):
+        u_sm = res.u_opt_smooth                            # (T, P, Bl)
+        u_presc_bl = u_sm[T_hist:]                         # (H, P, Bl)
+        s_hist_bl = tile_lanes(s_hist)                     # (T_hist, 3, Bl)
+        s0_bl = s_hist_bl[-1]                              # (3, Bl)
+        from ..models.batch_last import _dot_p
+        roll_params = {
+            "dt": params_bl["dt"], "beta": params_bl["beta"],
+            "gamma": params_bl["gamma"], "a": params_bl["a"],
+            "b": params_bl["b"], "u_max": params_bl["u_max"],
+            "alpha_min": params_bl["alpha_min"],
+            "alpha_max": params_bl["alpha_max"],
+        }
+        if cfg.stochastic_forecast and key is not None:
+            noise = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(0),
+                                   key_chunk[0][0].astype(jnp.uint32)),
+                (H, 3, Bl), fdtype)
+            noise_std = jnp.stack([
+                tile_lanes(init.s_noise_std),
+                tile_lanes(init.i_noise_std),
+                jnp.full((Bl,), cfg.alpha_noise_std, fdtype)])
+        else:
+            noise = jnp.zeros((H, 3, Bl), fdtype)
+            noise_std = jnp.zeros((3, Bl), fdtype)
+
+        from ..utils.math import clip_lo_hi
+
+        def roll_step(sv, inp):
+            u_t, n_t = inp
+            s_, i_, al_ = sv[0], sv[1], sv[2]
+            dt = roll_params["dt"]
+            s1 = clip_lo_hi(s_ - dt * (al_ * s_ * i_
+                                       + n_t[0] * noise_std[0]), 0.0, 1.0)
+            i1 = clip_lo_hi(i_ + dt * (al_ * s_ * i_
+                                       - roll_params["beta"] * i_
+                                       + n_t[1] * noise_std[1]), 0.0, 1.0)
+            drive = (-roll_params["gamma"] * al_
+                     + roll_params["gamma"] * roll_params["b"]
+                     + roll_params["gamma"] * _dot_p(
+                         roll_params["a"], roll_params["u_max"] - u_t)
+                     + n_t[2] * noise_std[2])
+            a1 = clip_lo_hi(al_ + dt * drive, roll_params["alpha_min"],
+                            roll_params["alpha_max"])
+            nxt = jnp.stack([s1, i1, a1])
+            return nxt, nxt
+
+        _, traj = jax.lax.scan(roll_step, s0_bl, (u_presc_bl, noise))
+        full_states = jnp.concatenate([s_hist_bl, traj], axis=0)  # (T,3,Bl)
+        cases = full_states[:, 0] * full_states[:, 1] * full_states[:, 2]
+        J0 = jnp.mean(cases, axis=0)                              # (Bl,)
+        w_vec = jnp.asarray(npi_weights, fdtype).reshape(P)
+        J1 = jnp.mean(w_vec[None, :, None] * u_sm, axis=(0, 1))   # (Bl,)
+
+        unb = lambda a: jnp.moveaxis(a.reshape(a.shape[:-1] + (Ec, R)),
+                                     (-2, -1), (0, 1))
+        s_out = unb(full_states[:, 0])      # (Ec, R, T_full)
+        i_out = unb(full_states[:, 1])
+        al_out = unb(full_states[:, 2])
+        u_out = jnp.transpose(u_presc_bl.reshape(H, P, Ec, R),
+                              (2, 3, 0, 1))  # (Ec, R, H, P)
+        return (J0.reshape(Ec, R), J1.reshape(Ec, R), s_out, i_out, al_out,
+                u_out)
 
     eps = np.asarray(epsilon_values, float)
     chunk = cfg.pareto_chunk

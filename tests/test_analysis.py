@@ -183,3 +183,17 @@ def test_xprize_io_roundtrip(tmp_path):
     df = pd.read_csv(tmp_path / "presc.csv")
     assert df["PrescriptionIndex"].nunique() == 2
     assert len(df) == 12
+
+
+def test_multiplicative_shooting_runs_and_controls():
+    from epidemicmodeling_tpu.analysis import si_alpha_multiplicative_shooting
+    P = 12
+    u_max = np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4], float)
+    res = si_alpha_multiplicative_shooting(
+        epsilon=0.2, w=np.ones(P), a=0.0001 * np.ones(P), c=0.0001 * 4,
+        u_min=np.zeros(P), u_max=u_max, beta=1 / 7, s0=0.99, i0=0.01,
+        alpha0=0.1, lambda_init=np.zeros(3), K=400, dt=0.1,
+        alpha_max=10.0)
+    assert np.isfinite(np.asarray(res.s)).all()
+    u = np.asarray(res.u)
+    assert np.all((u == 0.0) | (u == u_max[None, :]))  # bang-bang
