@@ -55,7 +55,7 @@ def main():
     log(f"data built in {time.time()-t0:.1f}s")
 
     cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=25,
-                         smoother_gain="solve", backend="lanes")
+                         smoother_gain="solve", backend="pallas")
     eps = np.asarray(epsilon_grid(E_PARETO))
     dtype = None  # f32 on TPU, f64 under x64
 

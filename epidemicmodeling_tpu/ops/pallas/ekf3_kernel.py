@@ -1,0 +1,394 @@
+"""Fused Pallas TPU kernel for the 3-state SI-alpha EKF/EKS.
+
+The 3-state sibling of ekf6_kernel.py, used by the training rounds and
+forecast scenarios (Tools/SIAlphaModelEKF.m semantics: NEWCASES observation,
+[s_min,1]/[i_min,1]/[alpha_min,alpha_max] margins, known inputs — no
+bang-bang). The innovation-whiteness monitor rho is computed OUTSIDE the
+kernel from the stored priors (a rolling-window post-process; see
+rho_from_priors below), keeping the kernel carry minimal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ekf6_kernel import _clip_lo_hi, _clip_hi_lo, _pick_seg
+
+M3 = 3
+NPI = 12
+BT = 128
+
+# scal rows: dt, beta, gamma, b, s_min, i_min, alpha_min, alpha_max, qdiag(3)
+T_DT, T_BETA, T_GAMMA, T_B, T_SMIN, T_IMIN, T_AMIN, T_AMAX = range(8)
+# vecs planes: a, u_max
+W_A, W_UMAX = range(2)
+
+
+def _margins3(s, scal):
+    return [_clip_hi_lo(s[0], scal[T_SMIN], 1.0),
+            _clip_hi_lo(s[1], scal[T_IMIN], 1.0),
+            _clip_hi_lo(s[2], scal[T_AMIN], scal[T_AMAX])]
+
+
+def _state_update3(u_t, s, scal, vecs):
+    dt = scal[T_DT]
+    beta = scal[T_BETA]
+    gam = scal[T_GAMMA]
+    drive = gam * scal[T_B] - gam * s[2]
+    for kk in range(NPI):
+        drive = drive + gam * vecs[W_A][kk] * (vecs[W_UMAX][kk] - u_t[kk])
+    s0 = _clip_lo_hi(s[0] - dt * s[2] * s[0] * s[1], scal[T_SMIN], 1.0)
+    s1 = _clip_lo_hi(s[1] + dt * (s[2] * s[0] * s[1] - beta * s[1]),
+                     scal[T_IMIN], 1.0)
+    s2 = _clip_lo_hi(s[2] + dt * drive, scal[T_AMIN], scal[T_AMAX])
+    return [s0, s1, s2]
+
+
+def _jacobian3(s, scal):
+    dt = scal[T_DT]
+    beta = scal[T_BETA]
+    gam = scal[T_GAMMA]
+    zero = jnp.zeros_like(s[0])
+    one = zero + 1.0
+    return [
+        [one - dt * s[2] * s[1], -dt * s[2] * s[0], -dt * s[0] * s[1]],
+        [dt * s[1] * s[2], one + dt * (s[0] * s[2] - beta),
+         dt * s[0] * s[1]],
+        [zero, zero, one - dt * gam],
+    ]
+
+
+def _mat3(A, B_):
+    return [[sum(A[i][j] * B_[j][k] for j in range(M3)) for k in range(M3)]
+            for i in range(M3)]
+
+
+def _mat3_T(A, B_):
+    return [[sum(A[i][j] * B_[k][j] for j in range(M3)) for k in range(M3)]
+            for i in range(M3)]
+
+
+def _sym3(P):
+    return [[0.5 * (P[i][j] + P[j][i]) for j in range(M3)] for i in range(M3)]
+
+
+def _loadP3(ref, t=None):
+    if t is None:
+        return [[ref[i * M3 + j] for j in range(M3)] for i in range(M3)]
+    return [[ref[t, i * M3 + j] for j in range(M3)] for i in range(M3)]
+
+
+def _storeP3(ref, t, P):
+    for i in range(M3):
+        for j in range(M3):
+            ref[t, i * M3 + j] = P[i][j]
+
+
+def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
+                 pinit_ref, sm_ref, sp_ref, pm_ref, pp_ref,
+                 s_carry, P_carry, *, t_seg, gamma_discount):
+    seg = pl.program_id(1)
+
+    @pl.when(seg == 0)
+    def _():
+        for i in range(M3):
+            s_carry[i] = sinit_ref[i]
+        for i in range(M3 * M3):
+            P_carry[i] = pinit_ref[i]
+
+    scal = [scal_ref[i] for i in range(8)]
+    vecs = [[vecs_ref[v, k] for k in range(NPI)] for v in range(2)]
+    qdiag = [scal_ref[8 + i] for i in range(M3)]
+
+    def body(t, carry_unused):
+        s = [s_carry[i] for i in range(M3)]
+        P = _loadP3(P_carry)
+        u_t = [u_ref[t, k] for k in range(NPI)]
+        x_t = x_ref[t, 0]
+        R_t = r_ref[t, 0]
+
+        for i in range(M3):
+            sm_ref[t, i] = s[i]
+        _storeP3(pm_ref, t, P)
+
+        C = [s[1] * s[2], s[0] * s[2], s[0] * s[1]]
+        x_pred = s[0] * s[1] * s[2]
+        x_pred = jnp.where(x_pred > 0, x_pred, 0.0)
+        valid = jnp.logical_not(jnp.isnan(x_t))
+        innov = jnp.where(valid, x_t - x_pred, 0.0)
+
+        PCt = [sum(P[i][j] * C[j] for j in range(M3)) for i in range(M3)]
+        S = sum(C[i] * PCt[i] for i in range(M3)) + gamma_discount * R_t
+        K = [jnp.where(valid, PCt[i] / S, 0.0) for i in range(M3)]
+
+        zero = jnp.zeros_like(s[0])
+        one = zero + 1.0
+        IKC = [[(one if i == j else zero) - K[i] * C[j]
+                for j in range(M3)] for i in range(M3)]
+        P_upd = _mat3_T(_mat3(IKC, P), IKC)
+        P_upd = [[(P_upd[i][j] + K[i] * K[j] * R_t) / gamma_discount
+                  for j in range(M3)] for i in range(M3)]
+        P_plus = _sym3([[jnp.where(valid, P_upd[i][j], P[i][j])
+                         for j in range(M3)] for i in range(M3)])
+        s_plus = _margins3([jnp.where(valid, s[i] + K[i] * innov, s[i])
+                            for i in range(M3)], scal)
+
+        for i in range(M3):
+            sp_ref[t, i] = s_plus[i]
+        _storeP3(pp_ref, t, P_plus)
+
+        s_next = _margins3(_state_update3(u_t, s_plus, scal, vecs), scal)
+        A = _jacobian3(s_plus, scal)
+        P_next = _mat3_T(_mat3(A, P_plus), A)
+        for i in range(M3):
+            P_next[i][i] = P_next[i][i] + qdiag[i]
+        P_next = _sym3(P_next)
+
+        for i in range(M3):
+            s_carry[i] = s_next[i]
+        for i in range(M3):
+            for j in range(M3):
+                P_carry[i * M3 + j] = P_next[i][j]
+        return carry_unused
+
+    jax.lax.fori_loop(0, t_seg, body, 0)
+
+
+def _bwd3_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
+                 vecs_ref, sfin_ref, pfin_ref, ssm_ref,
+                 s_carry, P_carry, *, t_seg):
+    seg = pl.program_id(1)
+
+    @pl.when(seg == 0)
+    def _():
+        for i in range(M3):
+            s_carry[i] = sfin_ref[i]
+        for i in range(M3 * M3):
+            P_carry[i] = pfin_ref[i]
+
+    scal = [scal_ref[i] for i in range(8)]
+    tiny = jnp.finfo(jnp.float32).tiny
+
+    def body(idx, carry_unused):
+        t = t_seg - 1 - idx
+        s_sm_next = [s_carry[i] for i in range(M3)]
+        P_sm_next = _loadP3(P_carry)
+        s_plus = [sp_ref[t, i] for i in range(M3)]
+        s_minus_next = [sm_ref[t, i] for i in range(M3)]
+        P_plus = _loadP3(pp_ref, t)
+        Pm = _loadP3(pm_next_ref, t)
+
+        A = _jacobian3(s_plus, scal)
+        PAt = _mat3_T(P_plus, A)
+
+        Lm = [[None] * M3 for _ in range(M3)]
+        for i in range(M3):
+            for j in range(i + 1):
+                acc = Pm[i][j]
+                for k in range(j):
+                    acc = acc - Lm[i][k] * Lm[j][k]
+                if i == j:
+                    Lm[i][j] = jnp.sqrt(jnp.where(acc > tiny, acc, tiny))
+                else:
+                    Lm[i][j] = acc / Lm[j][j]
+        J = [[None] * M3 for _ in range(M3)]
+        for c in range(M3):
+            b = [PAt[c][i] for i in range(M3)]
+            y = [None] * M3
+            for i in range(M3):
+                acc = b[i]
+                for k in range(i):
+                    acc = acc - Lm[i][k] * y[k]
+                y[i] = acc / Lm[i][i]
+            xcol = [None] * M3
+            for i in range(M3 - 1, -1, -1):
+                acc = y[i]
+                for k in range(i + 1, M3):
+                    acc = acc - Lm[k][i] * xcol[k]
+                xcol[i] = acc / Lm[i][i]
+            for i in range(M3):
+                J[c][i] = xcol[i]
+
+        diff = [s_sm_next[i] - s_minus_next[i] for i in range(M3)]
+        s_sm = _margins3(
+            [s_plus[i] + sum(J[i][j] * diff[j] for j in range(M3))
+             for i in range(M3)], scal)
+        Pd = [[Pm[i][j] - P_sm_next[i][j] for j in range(M3)]
+              for i in range(M3)]
+        JPdJt = _mat3_T(_mat3(J, Pd), J)
+        P_sm = _sym3([[P_plus[i][j] - JPdJt[i][j] for j in range(M3)]
+                      for i in range(M3)])
+
+        for i in range(M3):
+            ssm_ref[t, i] = s_sm[i]
+        for i in range(M3):
+            s_carry[i] = s_sm[i]
+        for i in range(M3):
+            for j in range(M3):
+                P_carry[i * M3 + j] = P_sm[i][j]
+        return carry_unused
+
+    jax.lax.fori_loop(0, t_seg, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret"))
+def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
+                gamma_discount: float = 0.995, interpret: bool = False):
+    """Fused forward+backward EKS for the 3-state SI-alpha system.
+
+    u: (T, NPI, B); x, Rv: (T, B); scal: (11, B); vecs: (2, NPI, B);
+    s_init: (3, B); Ps_init/Ps_final: (9, B) flattened; s_final: (3, B) NaN =
+    unconstrained. B multiple of 128.
+    Returns (S_SMOOTH (T,3,B), S_PLUS (T,3,B), S_MINUS (T,3,B)).
+    """
+    T, _, B = u.shape
+    assert B % BT == 0
+    t_seg = _pick_seg(T)
+    n_segs = T // t_seg
+    n_lane = B // BT
+    f32 = jnp.float32
+    u = u.astype(f32)
+    x = x.astype(f32)
+    Rv = Rv.astype(f32)
+
+    fwd = pl.pallas_call(
+        functools.partial(_fwd3_kernel, t_seg=t_seg,
+                          gamma_discount=float(gamma_discount)),
+        grid=(n_lane, n_segs),
+        in_specs=[
+            pl.BlockSpec((t_seg, NPI, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg, 1, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg, 1, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((11, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, NPI, BT), lambda l, s: (0, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M3, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M3 * M3, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_seg, M3, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg, M3, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg, M3 * M3, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg, M3 * M3, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, M3, B), f32),
+            jax.ShapeDtypeStruct((T, M3, B), f32),
+            jax.ShapeDtypeStruct((T, M3 * M3, B), f32),
+            jax.ShapeDtypeStruct((T, M3 * M3, B), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((M3, BT), f32),
+                        pltpu.VMEM((M3 * M3, BT), f32)],
+        interpret=interpret,
+    )
+    S_MINUS, S_PLUS, P_MINUS, P_PLUS = fwd(
+        u, x[:, None, :], Rv[:, None, :], scal, vecs, s_init, Ps_init)
+
+    sT = jnp.where(jnp.isnan(s_final), S_PLUS[-1], s_final)
+    PT = jnp.where(jnp.isnan(Ps_final), P_PLUS[-1], Ps_final)
+
+    Tb = T - 1
+    t_seg_b = _pick_seg(Tb)
+    n_segs_b = Tb // t_seg_b
+
+    bwd = pl.pallas_call(
+        functools.partial(_bwd3_kernel, t_seg=t_seg_b),
+        grid=(n_lane, n_segs_b),
+        in_specs=[
+            pl.BlockSpec((t_seg_b, NPI, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg_b, M3, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg_b, M3, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg_b, M3 * M3, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg_b, M3 * M3, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((11, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, NPI, BT), lambda l, s: (0, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M3, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M3 * M3, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_seg_b, M3, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Tb, M3, B), f32)],
+        scratch_shapes=[pltpu.VMEM((M3, BT), f32),
+                        pltpu.VMEM((M3 * M3, BT), f32)],
+        interpret=interpret,
+    )
+    (SSM_head,) = bwd(u[:Tb], S_PLUS[:Tb], S_MINUS[1:], P_PLUS[:Tb],
+                      P_MINUS[1:], scal, vecs, sT, PT)
+    S_SMOOTH = jnp.concatenate([SSM_head, sT[None]], axis=0)
+    return S_SMOOTH, S_PLUS, S_MINUS
+
+
+def rho_from_priors(s_minus, x, Rv, inv_monitor_len: int):
+    """Post-hoc innovation-whiteness monitor (GEKF.m:171-179) from stored
+    priors. s_minus: (T, 3, B); x, Rv: (T, B). Returns rho (T, B).
+
+    Rolling means implemented with cumulative sums — exactly the window
+    semantics of the in-filter monitor (newest-first buffer of length L,
+    count = min(t+1, L))."""
+    T, _, B = s_minus.shape
+    L = int(inv_monitor_len)
+    x_pred = s_minus[:, 0] * s_minus[:, 1] * s_minus[:, 2]
+    x_pred = jnp.maximum(x_pred, 0.0)
+    valid = jnp.logical_not(jnp.isnan(x))
+    innov = jnp.where(valid, x - x_pred, 0.0)
+
+    def rolling_sum(a):
+        c = jnp.cumsum(a, axis=0)
+        shifted = jnp.concatenate([jnp.zeros((L,) + a.shape[1:], a.dtype),
+                                   c[:-L]], axis=0) if T > L else \
+            jnp.zeros_like(c)
+        return c - shifted
+
+    cnt = jnp.minimum(jnp.arange(T) + 1, L).astype(innov.dtype)[:, None]
+    mu = rolling_sum(innov) / cnt
+    cc = (innov - mu) ** 2
+    eps = jnp.finfo(innov.dtype).eps
+    ccn = cc / (Rv + eps)
+    return rolling_sum(ccn) / cnt
+
+
+def pack_params3_for_kernel(params_bl, Q_bl, dtype=jnp.float32):
+    """(scal (11, B), vecs (2, NPI, B)) from a batch-last 3-state params dict
+    + (3, 3, B) process covariance (diagonal)."""
+    B = params_bl["a"].shape[-1]
+    bc = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (B,))
+    scal = jnp.stack([
+        bc(params_bl["dt"]), bc(params_bl["beta"]), bc(params_bl["gamma"]),
+        bc(params_bl["b"]), bc(params_bl["s_min"]), bc(params_bl["i_min"]),
+        bc(params_bl["alpha_min"]), bc(params_bl["alpha_max"]),
+    ] + [Q_bl[i, i].astype(dtype) for i in range(M3)])
+    bc12 = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (NPI, B))
+    vecs = jnp.stack([bc12(params_bl["a"]), bc12(params_bl["u_max"])])
+    return scal, vecs

@@ -1,0 +1,493 @@
+"""Fused Pallas TPU kernel for the 6-state optimal-NPI EKF/EKS hot loop.
+
+Why: the XLA scan of the batch-last core issues tens of fusion kernels per
+time step; at 1063 steps x 10 epsilon-chunks the dispatch overhead dominates
+(measured ~1.5 ms/step against ~6 us of HBM traffic). This kernel runs the
+ENTIRE forward filter (and a twin kernel the backward smoother) inside one
+Pallas program per lane tile: the time loop is an in-kernel fori_loop, the
+carry (s, P) lives in VMEM scratch that persists across time-segment grid
+steps, and Pallas double-buffers the per-segment HBM blocks automatically.
+
+All per-lane quantities are (BT,)-wide vectors (BT = 128 lanes) so every
+operation is a single VPU instruction; the 6x6 algebra is fully unrolled.
+Semantics are identical to ops/ekf_bl.ekf_smoother_bl for the costate system
+(order 1, n = 1, beta = 1, Joseph update, Cholesky smoother gain) and are
+pinned by tests/test_ekf6_kernel.py.
+
+Grid layout: (n_lane_tiles, n_segs); the segment axis iterates fastest, so
+the VMEM carry written at the end of segment j is the live state entering
+segment j+1 of the same lane tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+M = 6       # state dim
+NPI = 12    # input dim
+BT = 128    # lane tile
+
+# packed scalar-parameter row indices (scal array, (8, B))
+S_DT, S_BETA, S_GAMMA, S_B, S_EPS, S_SIGMA, S_AMIN, S_AMAX = range(8)
+# packed vector-parameter planes (vecs array, (4, NPI, B))
+V_A, V_UMIN, V_UMAX, V_W = range(4)
+
+
+def _clip_lo_hi(v, lo, hi):
+    """max(lo, min(hi, v)) with MATLAB NaN semantics (NaN -> hi then lo)."""
+    mn = jnp.where(v < hi, v, hi)
+    return jnp.where(mn > lo, mn, lo)
+
+
+def _clip_hi_lo(v, lo, hi):
+    """min(hi, max(lo, v)) (NaN -> lo)."""
+    mx = jnp.where(v > lo, v, lo)
+    return jnp.where(mx < hi, mx, hi)
+
+
+def _state_update(u_t, s, scal, vecs):
+    """Bang-bang fill + SI-alpha+costate Euler step.
+    u_t: list[NPI] of (BT,); s: list[6] of (BT,). Returns (u_filled, s_next)
+    as lists. (models/costate.py semantics.)"""
+    dt = scal[S_DT]
+    beta = scal[S_BETA]
+    gam = scal[S_GAMMA]
+    eps = scal[S_EPS]
+    u_f = []
+    drive = gam * scal[S_B] - gam * s[2]
+    for kk in range(NPI):
+        phi = eps * vecs[V_W][kk] - gam * s[5] * vecs[V_A][kk]
+        cand = jnp.where(phi > 0, vecs[V_UMIN][kk], vecs[V_UMAX][kk])
+        uk = jnp.where(jnp.isnan(u_t[kk]), cand, u_t[kk])
+        u_f.append(uk)
+        drive = drive + gam * vecs[V_A][kk] * (vecs[V_UMAX][kk] - uk)
+    rho = s[3] - s[4] - (1.0 - eps)
+    s0 = _clip_lo_hi(s[0] - dt * s[2] * s[0] * s[1], 0.0, 1.0)
+    s1 = _clip_lo_hi(s[1] + dt * (s[2] * s[0] * s[1] - beta * s[1]),
+                     0.0, 1.0)
+    s2 = _clip_lo_hi(s[2] + dt * drive, scal[S_AMIN], scal[S_AMAX])
+    s3 = s[3] + dt * rho * s[2] * s[1]
+    s4 = s[4] + dt * (rho * s[2] * s[0] + beta * s[4])
+    s5 = s[5] + dt * (rho * s[0] * s[1] + gam * s[5])
+    return u_f, [s0, s1, s2, s3, s4, s5]
+
+
+def _margins(s, scal):
+    return [_clip_hi_lo(s[0], 0.0, 1.0), _clip_hi_lo(s[1], 0.0, 1.0),
+            _clip_hi_lo(s[2], scal[S_AMIN], scal[S_AMAX]),
+            s[3], s[4], s[5]]
+
+
+def _jacobian(u_t, s, scal, vecs):
+    """A as list[6][6] of (BT,) (models/costate.py:state_jacobians)."""
+    dt = scal[S_DT]
+    beta = scal[S_BETA]
+    gam = scal[S_GAMMA]
+    eps = scal[S_EPS]
+    sig = scal[S_SIGMA]
+    zero = jnp.zeros_like(s[0])
+    one = zero + 1.0
+    rho = s[3] - s[4] - (1.0 - eps)
+    a36 = zero
+    inv_sigma = 1.0 / sig
+    for kk in range(NPI):
+        phi = eps * vecs[V_W][kk] - gam * s[5] * vecs[V_A][kk]
+        band = (jnp.isnan(u_t[kk]) & (phi > -inv_sigma) & (phi < inv_sigma))
+        a36 = a36 - jnp.where(
+            band, gam * dt * (sig * 0.5) * vecs[V_A][kk]
+            * (vecs[V_UMAX][kk] - vecs[V_UMIN][kk]), 0.0)
+    A = [[zero] * M for _ in range(M)]
+    A[0][0] = one - dt * s[2] * s[1]
+    A[0][1] = -dt * s[2] * s[0]
+    A[0][2] = -dt * s[0] * s[1]
+    A[1][0] = dt * s[1] * s[2]
+    A[1][1] = one + dt * (s[0] * s[2] - beta)
+    A[1][2] = dt * s[0] * s[1]
+    A[2][2] = one - dt * gam
+    A[2][5] = a36
+    A[3][1] = dt * s[2] * rho
+    A[3][2] = dt * s[1] * rho
+    A[3][3] = one + dt * s[1] * s[2]
+    A[3][4] = -dt * s[1] * s[2]
+    A[4][0] = dt * s[2] * rho
+    A[4][2] = dt * s[0] * rho
+    A[4][3] = dt * s[0] * s[2]
+    A[4][4] = one - dt * (s[0] * s[2] - beta)
+    A[5][0] = dt * s[1] * rho
+    A[5][1] = dt * s[0] * rho
+    A[5][3] = dt * s[0] * s[1]
+    A[5][4] = -dt * s[0] * s[1]
+    A[5][5] = one + dt * gam
+    return A
+
+
+def _matmul(A, B_):
+    return [[sum(A[i][j] * B_[j][k] for j in range(M)) for k in range(M)]
+            for i in range(M)]
+
+
+def _matmul_T(A, B_):
+    return [[sum(A[i][j] * B_[k][j] for j in range(M)) for k in range(M)]
+            for i in range(M)]
+
+
+def _sym(P):
+    return [[0.5 * (P[i][j] + P[j][i]) for j in range(M)] for i in range(M)]
+
+
+def _load_P(ref, t=None):
+    """(36, BT) or (T, 36, BT) ref row -> list[6][6] of (BT,)."""
+    if t is None:
+        return [[ref[i * M + j] for j in range(M)] for i in range(M)]
+    return [[ref[t, i * M + j] for j in range(M)] for i in range(M)]
+
+
+def _store_P(ref, t, P):
+    for i in range(M):
+        for j in range(M):
+            ref[t, i * M + j] = P[i][j]
+
+
+# --------------------------------------------------------------------------
+# forward filter kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
+                pinit_ref, sm_ref, sp_ref, pm_ref, pp_ref,
+                s_carry, P_carry, *, t_seg, gamma_discount):
+    seg = pl.program_id(1)
+
+    @pl.when(seg == 0)
+    def _():
+        for i in range(M):
+            s_carry[i] = sinit_ref[i]
+        for i in range(M):
+            for j in range(M):
+                P_carry[i * M + j] = pinit_ref[i * M + j]
+
+    scal = [scal_ref[i] for i in range(8)]
+    vecs = [[vecs_ref[v, k] for k in range(NPI)] for v in range(4)]
+    qdiag = [scal_ref[8 + i] for i in range(M)]
+
+    def body(t, carry_unused):
+        s = [s_carry[i] for i in range(M)]
+        P = _load_P(P_carry)
+        u_t = [u_ref[t, k] for k in range(NPI)]
+        x_t = x_ref[t, 0]
+        R_t = r_ref[t, 0]
+
+        # store priors
+        for i in range(M):
+            sm_ref[t, i] = s[i]
+        _store_P(pm_ref, t, P)
+
+        # observation row C (NEWCASES): [s1*s2, s0*s2, s0*s1, 0, 0, 0]
+        C = [s[1] * s[2], s[0] * s[2], s[0] * s[1]]
+        x_pred = s[0] * s[1] * s[2]
+        x_pred = jnp.where(x_pred > 0, x_pred, 0.0)   # obs hard margin
+        valid = jnp.logical_not(jnp.isnan(x_t))
+        innov = jnp.where(valid, x_t - x_pred, 0.0)
+
+        PCt = [sum(P[i][j] * C[j] for j in range(3)) for i in range(M)]
+        S = sum(C[i] * PCt[i] for i in range(3)) + gamma_discount * R_t
+        K = [jnp.where(valid, PCt[i] / S, 0.0) for i in range(M)]
+
+        zero = jnp.zeros_like(s[0])
+        one = zero + 1.0
+        IKC = [[(one if i == j else zero) - (K[i] * C[j] if j < 3 else zero)
+                for j in range(M)] for i in range(M)]
+        IKCP = _matmul(IKC, P)
+        P_upd = _matmul_T(IKCP, IKC)
+        P_upd = [[(P_upd[i][j] + K[i] * K[j] * R_t) / gamma_discount
+                  for j in range(M)] for i in range(M)]
+        P_plus = _sym([[jnp.where(valid, P_upd[i][j], P[i][j])
+                        for j in range(M)] for i in range(M)])
+        s_plus = _margins([jnp.where(valid, s[i] + K[i] * innov, s[i])
+                           for i in range(M)], scal)
+
+        for i in range(M):
+            sp_ref[t, i] = s_plus[i]
+        _store_P(pp_ref, t, P_plus)
+
+        # prediction
+        _, s_next = _state_update(u_t, s_plus, scal, vecs)
+        s_next = _margins(s_next, scal)
+        A = _jacobian(u_t, s_plus, scal, vecs)
+        AP = _matmul(A, P_plus)
+        P_next = _matmul_T(AP, A)
+        for i in range(M):
+            P_next[i][i] = P_next[i][i] + qdiag[i]
+        P_next = _sym(P_next)
+
+        for i in range(M):
+            s_carry[i] = s_next[i]
+        for i in range(M):
+            for j in range(M):
+                P_carry[i * M + j] = P_next[i][j]
+        return carry_unused
+
+    jax.lax.fori_loop(0, t_seg, body, 0)
+
+
+# --------------------------------------------------------------------------
+# backward smoother kernel
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
+                vecs_ref, sfin_ref, pfin_ref, ssm_ref, usm_ref,
+                s_carry, P_carry, *, t_seg, n_segs):
+    """Segments are fed in REVERSE time order via the index maps; within a
+    segment the loop runs t = t_seg-1 .. 0. pm_next_ref holds P_MINUS
+    shifted by one step (P_MINUS[t+1]) so no cross-segment reads are
+    needed."""
+    seg = pl.program_id(1)
+
+    @pl.when(seg == 0)
+    def _():
+        for i in range(M):
+            s_carry[i] = sfin_ref[i]
+        for i in range(M):
+            for j in range(M):
+                P_carry[i * M + j] = pfin_ref[i * M + j]
+
+    scal = [scal_ref[i] for i in range(8)]
+    vecs = [[vecs_ref[v, k] for k in range(NPI)] for v in range(4)]
+    tiny = jnp.finfo(jnp.float32).tiny
+
+    def body(idx, carry_unused):
+        t = t_seg - 1 - idx
+        s_sm_next = [s_carry[i] for i in range(M)]
+        P_sm_next = _load_P(P_carry)
+        s_plus = [sp_ref[t, i] for i in range(M)]
+        s_minus_next = [sm_ref[t, i] for i in range(M)]
+        P_plus = _load_P(pp_ref, t)
+        Pm_next = _load_P(pm_next_ref, t)
+        u_t = [u_ref[t, k] for k in range(NPI)]
+
+        A = _jacobian(u_t, s_plus, scal, vecs)
+        PAt = _matmul_T(P_plus, A)
+
+        # Cholesky of Pm_next (SPD)
+        Lm = [[None] * M for _ in range(M)]
+        for i in range(M):
+            for j in range(i + 1):
+                acc = Pm_next[i][j]
+                for k in range(j):
+                    acc = acc - Lm[i][k] * Lm[j][k]
+                if i == j:
+                    Lm[i][j] = jnp.sqrt(jnp.where(acc > tiny, acc, tiny))
+                else:
+                    Lm[i][j] = acc / Lm[j][j]
+        # solve Pm_next X = PAt^T column by column; J = X^T
+        J = [[None] * M for _ in range(M)]
+        for c in range(M):
+            b = [PAt[c][i] for i in range(M)]   # row c of PAt = col c of PAt^T
+            y = [None] * M
+            for i in range(M):
+                acc = b[i]
+                for k in range(i):
+                    acc = acc - Lm[i][k] * y[k]
+                y[i] = acc / Lm[i][i]
+            xcol = [None] * M
+            for i in range(M - 1, -1, -1):
+                acc = y[i]
+                for k in range(i + 1, M):
+                    acc = acc - Lm[k][i] * xcol[k]
+                xcol[i] = acc / Lm[i][i]
+            for i in range(M):
+                J[c][i] = xcol[i]               # J row c
+
+        diff = [s_sm_next[i] - s_minus_next[i] for i in range(M)]
+        s_sm = [s_plus[i] + sum(J[i][j] * diff[j] for j in range(M))
+                for i in range(M)]
+        s_sm = _margins(s_sm, scal)
+        Pd = [[Pm_next[i][j] - P_sm_next[i][j] for j in range(M)]
+              for i in range(M)]
+        JPd = _matmul(J, Pd)
+        JPdJt = _matmul_T(JPd, J)
+        P_sm = _sym([[P_plus[i][j] - JPdJt[i][j] for j in range(M)]
+                     for i in range(M)])
+
+        u_sm, _unused = _state_update(u_t, s_sm, scal, vecs)
+
+        for i in range(M):
+            ssm_ref[t, i] = s_sm[i]
+        for k in range(NPI):
+            usm_ref[t, k] = u_sm[k]
+        for i in range(M):
+            s_carry[i] = s_sm[i]
+        for i in range(M):
+            for j in range(M):
+                P_carry[i * M + j] = P_sm[i][j]
+        return carry_unused
+
+    jax.lax.fori_loop(0, t_seg, body, 0)
+
+
+# --------------------------------------------------------------------------
+# host wrappers
+# --------------------------------------------------------------------------
+
+def _pick_seg(T):
+    """Largest segment length <= 80 that divides T (pad handled by caller)."""
+    for seg in range(80, 0, -1):
+        if T % seg == 0:
+            return seg
+    return T
+
+
+@functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret"))
+def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
+                gamma_discount: float = 0.995, interpret: bool = False):
+    """Fused forward+backward EKS for the 6-state costate system.
+
+    u: (T, NPI, B); x, Rv: (T, B); scal: (14, B) rows
+    [dt, beta, gamma, b, epsilon, sigma, alpha_min, alpha_max, qdiag(6)];
+    vecs: (4, NPI, B) planes [a, u_min, u_max, w];
+    s_init: (M, B); Ps_init: (M*M, B) flattened row-major;
+    s_final: (M, B) with NaN = unconstrained; Ps_final: (M*M, B) with NaN =
+    unconstrained. B must be a multiple of 128.
+    Returns (S_SMOOTH (T, M, B), U_OPT_SMOOTH (T, NPI, B), S_PLUS (T, M, B)).
+    """
+    T, _, B = u.shape
+    assert B % BT == 0, f"B={B} must be a multiple of {BT}"
+    t_seg = _pick_seg(T)
+    n_segs = T // t_seg
+    n_lane = B // BT
+    f32 = jnp.float32
+    u = u.astype(f32)
+    x = x.astype(f32)
+    Rv = Rv.astype(f32)
+
+    lane_seg = lambda shape_prefix: None  # doc helper
+
+    # ---- forward ----
+    fwd = pl.pallas_call(
+        functools.partial(_fwd_kernel, t_seg=t_seg,
+                          gamma_discount=float(gamma_discount)),
+        grid=(n_lane, n_segs),
+        in_specs=[
+            pl.BlockSpec((t_seg, NPI, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),      # u
+            pl.BlockSpec((t_seg, 1, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),      # x (T, 1, B)
+            pl.BlockSpec((t_seg, 1, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),      # Rv (T, 1, B)
+            pl.BlockSpec((14, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),      # scal
+            pl.BlockSpec((4, NPI, BT), lambda l, s: (0, 0, l),
+                         memory_space=pltpu.VMEM),      # vecs
+            pl.BlockSpec((M, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),      # s_init
+            pl.BlockSpec((M * M, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),      # Ps_init
+        ],
+        out_specs=[
+            pl.BlockSpec((t_seg, M, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),      # S_MINUS
+            pl.BlockSpec((t_seg, M, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),      # S_PLUS
+            pl.BlockSpec((t_seg, M * M, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),      # P_MINUS
+            pl.BlockSpec((t_seg, M * M, BT), lambda l, s: (s, 0, l),
+                         memory_space=pltpu.VMEM),      # P_PLUS
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, M, B), f32),
+            jax.ShapeDtypeStruct((T, M, B), f32),
+            jax.ShapeDtypeStruct((T, M * M, B), f32),
+            jax.ShapeDtypeStruct((T, M * M, B), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, BT), f32),
+            pltpu.VMEM((M * M, BT), f32),
+        ],
+        interpret=interpret,
+    )
+    S_MINUS, S_PLUS, P_MINUS, P_PLUS = fwd(u, x[:, None, :],
+                                           Rv[:, None, :], scal, vecs,
+                                           s_init, Ps_init)
+
+    # terminal conditions
+    sT = jnp.where(jnp.isnan(s_final), S_PLUS[-1], s_final)
+    PT = jnp.where(jnp.isnan(Ps_final), P_PLUS[-1], Ps_final)
+
+    # shifted inputs for the backward pass over t = 0..T-2:
+    #   S_MINUS[t+1], P_MINUS[t+1]
+    Tb = T - 1
+    t_seg_b = _pick_seg(Tb)
+    n_segs_b = Tb // t_seg_b
+
+    bwd = pl.pallas_call(
+        functools.partial(_bwd_kernel, t_seg=t_seg_b, n_segs=n_segs_b),
+        grid=(n_lane, n_segs_b),
+        in_specs=[
+            pl.BlockSpec((t_seg_b, NPI, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),      # u[:T-1]
+            pl.BlockSpec((t_seg_b, M, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),      # S_PLUS[:T-1]
+            pl.BlockSpec((t_seg_b, M, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),      # S_MINUS[1:]
+            pl.BlockSpec((t_seg_b, M * M, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),      # P_PLUS[:T-1]
+            pl.BlockSpec((t_seg_b, M * M, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),      # P_MINUS[1:]
+            pl.BlockSpec((14, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, NPI, BT), lambda l, s: (0, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),      # sT
+            pl.BlockSpec((M * M, BT), lambda l, s: (0, l),
+                         memory_space=pltpu.VMEM),      # PT
+        ],
+        out_specs=[
+            pl.BlockSpec((t_seg_b, M, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),      # S_SMOOTH[:T-1]
+            pl.BlockSpec((t_seg_b, NPI, BT),
+                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+                         memory_space=pltpu.VMEM),      # U_SM[:T-1]
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tb, M, B), f32),
+            jax.ShapeDtypeStruct((Tb, NPI, B), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, BT), f32),
+            pltpu.VMEM((M * M, BT), f32),
+        ],
+        interpret=interpret,
+    )
+    SSM_head, USM_head = bwd(u[:Tb], S_PLUS[:Tb], S_MINUS[1:], P_PLUS[:Tb],
+                             P_MINUS[1:], scal, vecs, sT, PT)
+
+    S_SMOOTH = jnp.concatenate([SSM_head, sT[None]], axis=0)
+    U_SM = jnp.concatenate([USM_head, jnp.zeros((1, NPI, B), f32)], axis=0)
+    return S_SMOOTH, U_SM, S_PLUS
+
+
+def pack_params_for_kernel(params_bl, Q_bl, dtype=jnp.float32):
+    """Build (scal (14, B), vecs (4, NPI, B)) from a batch-last params dict
+    and the (M, M, B) process-noise covariance (diagonal assumed)."""
+    B = params_bl["a"].shape[-1]
+    bc = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (B,))
+    scal = jnp.stack([
+        bc(params_bl["dt"]), bc(params_bl["beta"]), bc(params_bl["gamma"]),
+        bc(params_bl["b"]), bc(params_bl["epsilon"]), bc(params_bl["sigma"]),
+        bc(params_bl["alpha_min"]), bc(params_bl["alpha_max"]),
+    ] + [Q_bl[i, i].astype(dtype) for i in range(M)])
+    bc12 = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (NPI, B))
+    vecs = jnp.stack([bc12(params_bl["a"]), bc12(params_bl["u_min"]),
+                      bc12(params_bl["u_max"]), bc12(params_bl["w"])])
+    return scal, vecs

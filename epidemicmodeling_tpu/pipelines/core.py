@@ -10,6 +10,8 @@ chunks so the 6-state EKS fits in HBM at E x R lane counts.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -120,15 +122,21 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
     Pf = (jnp.full((R, m, m), jnp.nan, x.dtype) if Ps_final is None
           else Ps_final)
 
-    if (cfg.backend == "lanes" and cfg.order == 1 and cfg.beta_ekf == 1.0):
+    if (cfg.backend == "pallas" and cfg.order == 1 and cfg.beta_ekf == 1.0
+            and cfg.observation_type == "NEWCASES"):
+        return _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf)
+
+    if (cfg.backend in ("lanes", "pallas") and cfg.order == 1
+            and cfg.beta_ekf == 1.0):
         from ..models.batch_last import si_alpha_ekf_system_bl
         from ..ops.ekf_bl import ekf_smoother_bl
-        bl = lambda a: jnp.moveaxis(jnp.asarray(a), 0, -1)
+        fdt = x.dtype
+        bl = lambda a: jnp.moveaxis(jnp.asarray(a, fdt), 0, -1)
         res = ekf_smoother_bl(
             si_alpha_ekf_system_bl(cfg.observation_type),
             bl(u), jnp.asarray(x)[..., 0].T, jax.tree.map(bl, params),
             bl(init.s_init), bl(init.Ps_init), bl(sf), bl(Pf),
-            Q=bl(init.Q), R=jnp.asarray(R_v).T,
+            Q=bl(init.Q), R=jnp.asarray(R_v, fdt).T,
             gamma_discount=cfg.gamma_ekf, joseph=True,
             inv_monitor_len=cfg.inv_monitor_len, unroll=cfg.scan_unroll)
         unbl = lambda a: jnp.moveaxis(a, -1, 0)
@@ -152,6 +160,45 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
 
     return jax.vmap(one)(u, x, params, init.s_init, init.Ps_init, sf, Pf,
                          init.Q, R_v)
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf):
+    """3-state EKF/EKS via the fused Pallas kernel (ops/pallas/ekf3_kernel).
+    Lane axis = regions, padded to a multiple of 128; rho recomputed
+    post-hoc from the stored priors."""
+    from ..ops.pallas.ekf3_kernel import (ekf3_pallas, rho_from_priors,
+                                          pack_params3_for_kernel)
+    from ..ops.ekf import EKFResult
+    R = x.shape[0]
+    fdt = x.dtype
+    pad = (-R) % 128
+    bl = lambda a: jnp.moveaxis(jnp.asarray(a, fdt), 0, -1)
+    padl = lambda a: (a if pad == 0 else jnp.concatenate(
+        [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
+    blp = lambda a: padl(bl(a))
+
+    params_bl = {k: blp(v) for k, v in params.items()}
+    scal, vecs = pack_params3_for_kernel(params_bl, blp(init.Q))
+    interp = jax.default_backend() not in ("tpu", "axon")
+    x_bl = padl(jnp.asarray(x, fdt)[..., 0].T)
+    Rv_bl = padl(jnp.asarray(R_v, fdt).T)
+    ssm, sp, sm = ekf3_pallas(
+        blp(u), x_bl, Rv_bl, scal, vecs, blp(init.s_init),
+        blp(init.Ps_init).reshape(9, R + pad), blp(sf),
+        blp(Pf).reshape(9, R + pad),
+        gamma_discount=float(cfg.gamma_ekf), interpret=interp)
+    rho = rho_from_priors(sm, x_bl, Rv_bl, cfg.inv_monitor_len)
+
+    unbl = lambda a: jnp.moveaxis(a[..., :R], -1, 0).astype(fdt)
+    # 3-state systems return the input unchanged as u_opt; the smoother's
+    # re-run leaves the last sample unwritten (zeros) like the reference
+    u_opt_smooth = jnp.asarray(u, fdt).at[:, -1, :].set(0.0)
+    return EKFResult(
+        u_opt=jnp.asarray(u, fdt), u_opt_smooth=u_opt_smooth,
+        s_minus=unbl(sm), s_plus=unbl(sp), s_smooth=unbl(ssm),
+        P_minus=None, P_plus=None, P_smooth=None, K_gain=None,
+        innovations=None, rho=unbl(rho)[..., None, None])
 
 
 def _regress(cfg: PipelineConfig, x_data, y_data):
@@ -252,6 +299,7 @@ def _rollout_from(cfg, init, params, s0, u_future, key=None):
         noise = jnp.zeros((R, H, 3), s0.dtype)
     else:
         noise = jax.random.normal(key, (R, H, 3), s0.dtype)
+    fdt = s0.dtype
     p_batched = {
         "dt": params["dt"], "beta": params["beta"], "gamma": params["gamma"],
         "a": params["a"], "b": params["b"], "u_max": params["u_max"],
@@ -260,6 +308,7 @@ def _rollout_from(cfg, init, params, s0, u_future, key=None):
         "alpha_noise_std": jnp.full_like(init.s_noise_std,
                                          cfg.alpha_noise_std),
     }
+    p_batched = {k: jnp.asarray(v, fdt) for k, v in p_batched.items()}
     return jax.vmap(one)(s0, u_future, noise, p_batched)
 
 
@@ -299,32 +348,17 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
     # (TrainPredictPrescribeNPI.m:380-382,398,408,481).
     u_fixed = jnp.concatenate(
         [ip_hist[:, :-1, :], jnp.broadcast_to(ip_last, (R, H + 1, P))], axis=1)
-    res_fixed = _run_ekf3(cfg, u_fixed, obs[..., None], params, init)
-    s_hist = res_fixed.s_smooth[:, :T_hist, :]     # (R, T_hist, 3)
-
-    def scenario(u_full):
-        traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
-                             u_full[:, T_hist:, :], key)
-        s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
-        i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
-        al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
-        J0, J1 = npi_cost(s * i * al, jnp.swapaxes(u_full, 1, 2),
-                          jnp.swapaxes(w_daywise, 1, 2))
-        return ScenarioResult(s, i, al, u_full, J0, J1)
-
-    fixed = scenario(u_fixed)
-    # B) zero/min input (:394-402)
     u_zero = jnp.concatenate(
         [ip_hist[:, :-1, :],
          jnp.broadcast_to(jnp.asarray(npi_mins, fdtype)[None, None, :],
                           (R, H + 1, P))], axis=1)
-    zero = scenario(u_zero)
-    # C) max input (:404-412)
     u_max_sched = jnp.concatenate(
         [ip_hist[:, :-1, :],
          jnp.broadcast_to(jnp.asarray(npi_maxes, fdtype)[None, None, :],
                           (R, H + 1, P))], axis=1)
-    full = scenario(u_max_sched)
+    fixed, zero, full, s_hist = _scenarios_impl(
+        u_fixed, u_zero, u_max_sched, obs, params, init, w_daywise,
+        key if cfg.stochastic_forecast else None, cfg=cfg, T_hist=T_hist)
 
     out = {"fixed": fixed, "zero": zero, "max": full}
     if actual_npis is not None:
@@ -340,6 +374,134 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
                           jnp.swapaxes(w_daywise, 1, 2))
         out["actual"] = ScenarioResult(s, i, al, u_act, J0, J1)
     return out, s_hist
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist"))
+def _scenarios_impl(u_fixed, u_zero, u_max_sched, obs, params, init,
+                    w_daywise, key, *, cfg, T_hist):
+    """Module-level jitted scenario stage: fixed-input EKS defines s_hist,
+    then the three rollouts + costs (compilation caches across calls)."""
+    res_fixed = _run_ekf3(cfg, u_fixed, obs[..., None], dict(params), init)
+    s_hist = res_fixed.s_smooth[:, :T_hist, :]
+
+    def scenario(u_full):
+        traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
+                             u_full[:, T_hist:, :], key)
+        s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
+        i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
+        al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
+        J0, J1 = npi_cost(s * i * al, jnp.swapaxes(u_full, 1, 2),
+                          jnp.swapaxes(w_daywise, 1, 2))
+        return ScenarioResult(s, i, al, u_full, J0, J1)
+
+    return (scenario(u_fixed), scenario(u_zero), scenario(u_max_sched),
+            s_hist)
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "Ec"))
+def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
+                            QQ, PPs, ss_init, s_final, Ps_final, s_hist,
+                            w_vec, s_noise_std, i_noise_std, *, cfg, T_hist,
+                            Ec):
+    """Module-level jitted batch-last / Pallas Pareto chunk (hoisted out of
+    pareto_prescribe so the compilation caches across calls — a closure-level
+    jit recompiled on every pipeline invocation, costing ~10s per run)."""
+    from ..models.batch_last import si_alpha_costate_ekf_system_bl, _dot_p
+    from ..ops.ekf_bl import ekf_smoother_bl
+    from ..utils.math import clip_lo_hi
+
+    fdtype = obs.dtype
+    R = obs.shape[0]
+    T_full = obs.shape[1]
+    P = u_in.shape[-1]
+    H = T_full - T_hist
+    Bl = Ec * R
+
+    def tile_lanes(arr):
+        a = jnp.asarray(arr, fdtype)
+        a = jnp.moveaxis(a, 0, -1)
+        a = jnp.broadcast_to(a[..., None, :], a.shape[:-1] + (Ec, R))
+        return a.reshape(a.shape[:-2] + (Bl,))
+
+    params_bl = {k: tile_lanes(v) for k, v in params.items()}
+    params_bl["epsilon"] = jnp.broadcast_to(
+        eps_chunk[:, None], (Ec, R)).reshape(Bl)
+
+    if cfg.backend == "pallas":
+        from ..ops.pallas.ekf6_kernel import (ekf6_pallas,
+                                              pack_params_for_kernel)
+        pad = (-Bl) % 128
+        padl = lambda a: (a if pad == 0 else jnp.concatenate(
+            [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
+        params_p = {k: padl(v) for k, v in params_bl.items()}
+        scal, vecs = pack_params_for_kernel(params_p, padl(tile_lanes(QQ)))
+        interp = jax.default_backend() not in ("tpu", "axon")
+        _, u_sm_p, _ = ekf6_pallas(
+            padl(tile_lanes(u_in)), padl(tile_lanes(obs)),
+            padl(tile_lanes(R_v)), scal, vecs,
+            padl(tile_lanes(ss_init)),
+            padl(tile_lanes(PPs)).reshape(36, Bl + pad),
+            padl(tile_lanes(s_final)),
+            padl(tile_lanes(Ps_final)).reshape(36, Bl + pad),
+            gamma_discount=float(cfg.gamma_ekf), interpret=interp)
+        u_sm = u_sm_p[..., :Bl].astype(fdtype)             # (T, P, Bl)
+    else:
+        res = ekf_smoother_bl(
+            si_alpha_costate_ekf_system_bl(cfg.observation_type),
+            tile_lanes(u_in), tile_lanes(obs), params_bl,
+            tile_lanes(ss_init), tile_lanes(PPs),
+            tile_lanes(s_final), tile_lanes(Ps_final),
+            Q=tile_lanes(QQ), R=tile_lanes(R_v),
+            gamma_discount=cfg.gamma_ekf, joseph=True,
+            unroll=cfg.scan_unroll)
+        u_sm = res.u_opt_smooth                            # (T, P, Bl)
+
+    u_presc_bl = u_sm[T_hist:]                             # (H, P, Bl)
+    s_hist_bl = tile_lanes(s_hist)                         # (T_hist, 3, Bl)
+    s0_bl = s_hist_bl[-1]
+    if cfg.stochastic_forecast:
+        noise = jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(0),
+                               key_chunk[0][0].astype(jnp.uint32)),
+            (H, 3, Bl), fdtype)
+        noise_std = jnp.stack([
+            tile_lanes(s_noise_std), tile_lanes(i_noise_std),
+            jnp.full((Bl,), cfg.alpha_noise_std, fdtype)])
+    else:
+        noise = jnp.zeros((H, 3, Bl), fdtype)
+        noise_std = jnp.zeros((3, Bl), fdtype)
+
+    rp = params_bl
+
+    def roll_step(sv, inp):
+        u_t, n_t = inp
+        s_, i_, al_ = sv[0], sv[1], sv[2]
+        dt = rp["dt"]
+        s1 = clip_lo_hi(s_ - dt * (al_ * s_ * i_
+                                   + n_t[0] * noise_std[0]), 0.0, 1.0)
+        i1 = clip_lo_hi(i_ + dt * (al_ * s_ * i_ - rp["beta"] * i_
+                                   + n_t[1] * noise_std[1]), 0.0, 1.0)
+        drive = (-rp["gamma"] * al_ + rp["gamma"] * rp["b"]
+                 + rp["gamma"] * _dot_p(rp["a"], rp["u_max"] - u_t)
+                 + n_t[2] * noise_std[2])
+        a1 = clip_lo_hi(al_ + dt * drive, rp["alpha_min"], rp["alpha_max"])
+        nxt = jnp.stack([s1, i1, a1])
+        return nxt, nxt
+
+    _, traj = jax.lax.scan(roll_step, s0_bl, (u_presc_bl, noise))
+    full_states = jnp.concatenate([s_hist_bl, traj], axis=0)   # (T, 3, Bl)
+    cases = full_states[:, 0] * full_states[:, 1] * full_states[:, 2]
+    J0 = jnp.mean(cases, axis=0)
+    J1 = jnp.mean(w_vec[None, :, None] * u_sm, axis=(0, 1))
+
+    unb = lambda a: jnp.moveaxis(a.reshape(a.shape[:-1] + (Ec, R)),
+                                 (-2, -1), (0, 1))
+    s_out = unb(full_states[:, 0])
+    i_out = unb(full_states[:, 1])
+    al_out = unb(full_states[:, 2])
+    u_out = jnp.transpose(u_presc_bl.reshape(H, P, Ec, R), (2, 3, 0, 1))
+    return (J0.reshape(Ec, R), J1.reshape(Ec, R), s_out, i_out, al_out,
+            u_out)
 
 
 def pareto_prescribe(batch_full, trained: TrainedRegionParams,
@@ -440,102 +602,19 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
 
         return jax.vmap(per_eps)(eps_chunk, key_chunk)
 
-    @jax.jit
     def sweep_chunk_lanes(eps_chunk, key_chunk):
-        """Batch-last fast path (ops/ekf_bl.py): the (Ec, R) lane grid is
-        flattened with the lane axis LAST so the 6x6 covariance algebra rides
-        the 128-wide vector lanes instead of being padded to (8,128) tiles."""
-        from ..models.batch_last import si_alpha_costate_ekf_system_bl
-        from ..ops.ekf_bl import ekf_smoother_bl
-        Ec = eps_chunk.shape[0]
-        Bl = Ec * R
-
-        def tile_lanes(arr):
-            """(R, *dims) -> (*dims, Ec*R): tile over eps, lanes last."""
-            a = jnp.asarray(arr, fdtype)
-            a = jnp.moveaxis(a, 0, -1)                     # (*dims, R)
-            a = jnp.broadcast_to(a[..., None, :],
-                                 a.shape[:-1] + (Ec, R))
-            return a.reshape(a.shape[:-2] + (Bl,))
-
-        params_bl = {k: tile_lanes(v) for k, v in params.items()}
-        params_bl["epsilon"] = jnp.broadcast_to(
-            eps_chunk[:, None], (Ec, R)).reshape(Bl)
-
-        res = ekf_smoother_bl(
-            si_alpha_costate_ekf_system_bl(cfg.observation_type),
-            tile_lanes(u_in),                              # (T, P, Bl)
-            tile_lanes(obs),                               # (T, Bl)
-            params_bl,
-            tile_lanes(ss_init), tile_lanes(PPs),
-            tile_lanes(s_final), tile_lanes(Ps_final),
-            Q=tile_lanes(QQ), R=tile_lanes(R_v),
-            gamma_discount=cfg.gamma_ekf, joseph=True,
-            unroll=cfg.scan_unroll)
-
-        # rollout + scoring fully lanes-last (no big transposes):
-        u_sm = res.u_opt_smooth                            # (T, P, Bl)
-        u_presc_bl = u_sm[T_hist:]                         # (H, P, Bl)
-        s_hist_bl = tile_lanes(s_hist)                     # (T_hist, 3, Bl)
-        s0_bl = s_hist_bl[-1]                              # (3, Bl)
-        from ..models.batch_last import _dot_p
-        roll_params = {
-            "dt": params_bl["dt"], "beta": params_bl["beta"],
-            "gamma": params_bl["gamma"], "a": params_bl["a"],
-            "b": params_bl["b"], "u_max": params_bl["u_max"],
-            "alpha_min": params_bl["alpha_min"],
-            "alpha_max": params_bl["alpha_max"],
-        }
-        if cfg.stochastic_forecast and key is not None:
-            noise = jax.random.normal(
-                jax.random.fold_in(jax.random.PRNGKey(0),
-                                   key_chunk[0][0].astype(jnp.uint32)),
-                (H, 3, Bl), fdtype)
-            noise_std = jnp.stack([
-                tile_lanes(init.s_noise_std),
-                tile_lanes(init.i_noise_std),
-                jnp.full((Bl,), cfg.alpha_noise_std, fdtype)])
-        else:
-            noise = jnp.zeros((H, 3, Bl), fdtype)
-            noise_std = jnp.zeros((3, Bl), fdtype)
-
-        from ..utils.math import clip_lo_hi
-
-        def roll_step(sv, inp):
-            u_t, n_t = inp
-            s_, i_, al_ = sv[0], sv[1], sv[2]
-            dt = roll_params["dt"]
-            s1 = clip_lo_hi(s_ - dt * (al_ * s_ * i_
-                                       + n_t[0] * noise_std[0]), 0.0, 1.0)
-            i1 = clip_lo_hi(i_ + dt * (al_ * s_ * i_
-                                       - roll_params["beta"] * i_
-                                       + n_t[1] * noise_std[1]), 0.0, 1.0)
-            drive = (-roll_params["gamma"] * al_
-                     + roll_params["gamma"] * roll_params["b"]
-                     + roll_params["gamma"] * _dot_p(
-                         roll_params["a"], roll_params["u_max"] - u_t)
-                     + n_t[2] * noise_std[2])
-            a1 = clip_lo_hi(al_ + dt * drive, roll_params["alpha_min"],
-                            roll_params["alpha_max"])
-            nxt = jnp.stack([s1, i1, a1])
-            return nxt, nxt
-
-        _, traj = jax.lax.scan(roll_step, s0_bl, (u_presc_bl, noise))
-        full_states = jnp.concatenate([s_hist_bl, traj], axis=0)  # (T,3,Bl)
-        cases = full_states[:, 0] * full_states[:, 1] * full_states[:, 2]
-        J0 = jnp.mean(cases, axis=0)                              # (Bl,)
+        if cfg.backend == "pallas" and (
+                cfg.observation_type != "NEWCASES" or cfg.order != 1
+                or cfg.beta_ekf != 1.0):
+            raise ValueError(
+                "backend='pallas' supports NEWCASES, order=1, beta_ekf=1 "
+                "only; use backend='lanes'")
         w_vec = jnp.asarray(npi_weights, fdtype).reshape(P)
-        J1 = jnp.mean(w_vec[None, :, None] * u_sm, axis=(0, 1))   # (Bl,)
-
-        unb = lambda a: jnp.moveaxis(a.reshape(a.shape[:-1] + (Ec, R)),
-                                     (-2, -1), (0, 1))
-        s_out = unb(full_states[:, 0])      # (Ec, R, T_full)
-        i_out = unb(full_states[:, 1])
-        al_out = unb(full_states[:, 2])
-        u_out = jnp.transpose(u_presc_bl.reshape(H, P, Ec, R),
-                              (2, 3, 0, 1))  # (Ec, R, H, P)
-        return (J0.reshape(Ec, R), J1.reshape(Ec, R), s_out, i_out, al_out,
-                u_out)
+        return _sweep_chunk_lanes_impl(
+            eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
+            s_final, Ps_final, jnp.asarray(s_hist, fdtype), w_vec,
+            init.s_noise_std.astype(fdtype), init.i_noise_std.astype(fdtype),
+            cfg=cfg, T_hist=T_hist, Ec=eps_chunk.shape[0])
 
     eps = np.asarray(epsilon_values, float)
     chunk = cfg.pareto_chunk
@@ -557,7 +636,7 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
                 eps_chunk, NamedSharding(mesh, P("ep")))
             key_chunk = jax.device_put(
                 key_chunk, NamedSharding(mesh, P("ep", None)))
-        if cfg.backend == "lanes":
+        if cfg.backend in ("lanes", "pallas"):
             outs.append(sweep_chunk_lanes(eps_chunk, key_chunk))
         else:
             outs.append(sweep_chunk(eps_chunk, key_chunk))
@@ -598,22 +677,30 @@ def monte_carlo_baseline(batch_full, trained: TrainedRegionParams,
     w_daywise = jnp.broadcast_to(
         jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
 
-    @jax.jit
-    def run_all():
-        def per_scenario(u_s, k_s):
-            traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
-                                 jnp.broadcast_to(u_s[None], (R, H, P)),
-                                 k_s if cfg.stochastic_forecast else None)
-            s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
-            i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
-            al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
-            u_full = jnp.concatenate(
-                [ip_hist, jnp.broadcast_to(u_s[None], (R, H, P))], axis=1)
-            return npi_cost(s * i * al, jnp.swapaxes(u_full, 1, 2),
-                            jnp.swapaxes(w_daywise, 1, 2))
-
-        keys = jax.random.split(k_noise, N)
-        return jax.vmap(per_scenario)(u_rand, keys)
-
-    J0, J1 = run_all()
+    keys = jax.random.split(k_noise, N)
+    J0, J1 = _monte_carlo_impl(u_rand, keys, ip_hist, s_hist, params,
+                               init, w_daywise, cfg=cfg)
     return {"J0": J0, "J1": J1, "u_random": u_rand}
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def _monte_carlo_impl(u_rand, keys, ip_hist, s_hist, params, init,
+                      w_daywise, *, cfg):
+    """Module-level jitted Monte-Carlo scoring (hoisted so compilation
+    caches across pipeline invocations)."""
+    N, H, P = u_rand.shape
+    R = s_hist.shape[0]
+
+    def per_scenario(u_s, k_s):
+        traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
+                             jnp.broadcast_to(u_s[None], (R, H, P)),
+                             k_s if cfg.stochastic_forecast else None)
+        s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
+        i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
+        al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
+        u_full = jnp.concatenate(
+            [ip_hist, jnp.broadcast_to(u_s[None], (R, H, P))], axis=1)
+        return npi_cost(s * i * al, jnp.swapaxes(u_full, 1, 2),
+                        jnp.swapaxes(w_daywise, 1, 2))
+
+    return jax.vmap(per_scenario)(u_rand, keys)

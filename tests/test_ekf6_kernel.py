@@ -1,0 +1,190 @@
+"""Fused Pallas EKS kernel parity vs the batch-last XLA core (interpret mode
+on CPU; the same code path compiles with Mosaic on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from epidemicmodeling_tpu.models import SIAlphaParams
+from epidemicmodeling_tpu.models.batch_last import \
+    si_alpha_costate_ekf_system_bl
+from epidemicmodeling_tpu.ops.ekf_bl import ekf_smoother_bl
+from epidemicmodeling_tpu.ops.pallas.ekf6_kernel import (
+    ekf6_pallas, pack_params_for_kernel)
+
+U_MAX = np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4], float)
+
+
+def build(B=128, T=96, T_hist=64, seed=0):
+    rng = np.random.default_rng(seed)
+    P = 12
+    u = rng.integers(0, 3, (T, P, B)).astype(np.float32)
+    u[T_hist:] = np.nan
+    x = np.abs(rng.normal(1e-4, 2e-5, (T, B))).astype(np.float32)
+    x[T_hist:] = np.nan
+    Rv = np.full((T, B), 4e-10, np.float32)
+
+    params = {
+        "dt": jnp.full((B,), 1.0, jnp.float32),
+        "beta": jnp.full((B,), 0.2, jnp.float32),
+        "gamma": jnp.full((B,), 1 / 7, jnp.float32),
+        "b": jnp.full((B,), 0.05, jnp.float32),
+        "epsilon": jnp.asarray(rng.random(B), jnp.float32),
+        "sigma": jnp.full((B,), 1e6, jnp.float32),
+        "alpha_min": jnp.full((B,), 1e-8, jnp.float32),
+        "alpha_max": jnp.full((B,), 100.0, jnp.float32),
+        "s_min": jnp.full((B,), 1e-6, jnp.float32),
+        "i_min": jnp.full((B,), 1e-6, jnp.float32),
+        "a": jnp.asarray(0.004 * rng.random((12, B)), jnp.float32),
+        "u_min": jnp.zeros((12, B), jnp.float32),
+        "u_max": jnp.broadcast_to(
+            jnp.asarray(U_MAX, jnp.float32)[:, None], (12, B)),
+        "w": jnp.ones((12, B), jnp.float32),
+    }
+    s_init = jnp.tile(jnp.asarray(
+        [0.999, 1e-4, 0.3, 0, 0, 0], jnp.float32)[:, None], (1, B))
+    Ps0 = np.zeros((6, 6), np.float32)
+    np.fill_diagonal(Ps0, [1e-4, 1e-6, 0.1, 1e-7, 1e-7, 1e-7])
+    Ps_init = jnp.tile(jnp.asarray(Ps0)[:, :, None], (1, 1, B))
+    Q0 = np.zeros((6, 6), np.float32)
+    np.fill_diagonal(Q0, [1e-8, 1e-8, 1e-4, 1e-8, 1e-8, 1e-8])
+    Q = jnp.tile(jnp.asarray(Q0)[:, :, None], (1, 1, B))
+    s_final = jnp.tile(jnp.asarray(
+        [np.nan, np.nan, np.nan, 0, 0, 0], jnp.float32)[:, None], (1, B))
+    Pf = np.full((6, 6), np.nan, np.float32)
+    Pf[3, 3] = Pf[4, 4] = Pf[5, 5] = 1e-8
+    Ps_final = jnp.tile(jnp.asarray(Pf)[:, :, None], (1, 1, B))
+    return (jnp.asarray(u), jnp.asarray(x), jnp.asarray(Rv), params,
+            s_init, Ps_init, Q, s_final, Ps_final)
+
+
+def test_kernel_matches_bl_core():
+    u, x, Rv, params, s_init, Ps_init, Q, s_final, Ps_final = build()
+
+    ref = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(), u, x, params, s_init, Ps_init,
+        s_final, Ps_final, Q=Q, R=Rv, gamma_discount=0.995)
+
+    scal, vecs = pack_params_for_kernel(params, Q)
+    ssm, usm, s_plus = ekf6_pallas(
+        u, x, Rv, scal, vecs, s_init, Ps_init.reshape(36, -1),
+        s_final, Ps_final.reshape(36, -1), gamma_discount=0.995,
+        interpret=jax.default_backend() not in ("tpu", "axon"))
+
+    # both paths run f32; op-order roundoff compounds on the exploding
+    # costates (|lambda| up to ~1e4 here), so compare with magnitude-scaled
+    # error. The discrete prescriptions — the actual product — must be
+    # EXACTLY equal.
+    def scaled_err(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return (np.abs(a - b) / (np.abs(b) + 1.0)).max()
+
+    assert scaled_err(s_plus, ref.s_plus) < 1e-3
+    assert scaled_err(ssm, ref.s_smooth) < 1e-2
+    np.testing.assert_array_equal(np.asarray(usm[64:-1]),
+                                  np.asarray(ref.u_opt_smooth[64:-1]))
+
+
+def test_pareto_pallas_backend_matches_lanes():
+    """pareto_prescribe with backend='pallas' (interpret on CPU) must produce
+    the same prescriptions/costs as the lanes backend."""
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import (
+        train_regions, forecast_scenarios, pareto_prescribe)
+    from epidemicmodeling_tpu.control import epsilon_grid
+
+    _, _, truth = synthetic_oxford_frame(n_regions=2, n_days=100, seed=7)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:80], None,
+                                      tr["u"][:80], tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names)
+    bf = build_region_batch(sers, names, horizon=19)
+    eps = np.asarray(epsilon_grid(4))
+    # f32 everywhere so the comparison is at matched precision
+    out = {}
+    for backend in ["lanes", "pallas"]:
+        cfg = PipelineConfig(smoother_gain="solve", backend=backend,
+                             pareto_chunk=2)
+        to = train_regions(bt, np.zeros(12), NPI_MAXES_DEFAULT, 80, cfg,
+                           dtype=jnp.float32)
+        scen, s_hist = forecast_scenarios(
+            bf, to.trained, to.init, np.ones(12), np.zeros(12),
+            NPI_MAXES_DEFAULT, 80, cfg, dtype=jnp.float32)
+        par = pareto_prescribe(bf, to.trained, to.init, s_hist, eps,
+                               np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT,
+                               80, cfg, dtype=jnp.float32)
+        out[backend] = par
+    np.testing.assert_array_equal(
+        np.asarray(out["lanes"]["u_prescribed"])[:, :, :-1],
+        np.asarray(out["pallas"]["u_prescribed"])[:, :, :-1])
+    np.testing.assert_allclose(np.asarray(out["lanes"]["J1"]),
+                               np.asarray(out["pallas"]["J1"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_ekf3_pallas_matches_bl_core():
+    """3-state fused kernel (interpret) vs the batch-last core + post-hoc
+    rho vs in-filter rho."""
+    from epidemicmodeling_tpu.models.batch_last import si_alpha_ekf_system_bl
+    from epidemicmodeling_tpu.ops.pallas.ekf3_kernel import (
+        ekf3_pallas, rho_from_priors, pack_params3_for_kernel)
+
+    rng = np.random.default_rng(3)
+    B, T, T_hist = 128, 90, 70
+    u = rng.integers(0, 3, (T, 12, B)).astype(np.float32)
+    x = np.abs(rng.normal(1e-4, 2e-5, (T, B))).astype(np.float32)
+    x[T_hist:] = np.nan
+    Rv = np.full((T, B), 4e-10, np.float32)
+    params = {
+        "dt": jnp.full((B,), 1.0, jnp.float32),
+        "beta": jnp.full((B,), 0.2, jnp.float32),
+        "gamma": jnp.full((B,), 1 / 7, jnp.float32),
+        "b": jnp.full((B,), 0.05, jnp.float32),
+        "s_min": jnp.full((B,), 1e-6, jnp.float32),
+        "i_min": jnp.full((B,), 1e-6, jnp.float32),
+        "alpha_min": jnp.full((B,), 1e-8, jnp.float32),
+        "alpha_max": jnp.full((B,), 100.0, jnp.float32),
+        "a": jnp.asarray(0.004 * rng.random((12, B)), jnp.float32),
+        "u_min": jnp.zeros((12, B), jnp.float32),
+        "u_max": jnp.broadcast_to(
+            jnp.asarray(U_MAX, jnp.float32)[:, None], (12, B)),
+        "epsilon": jnp.full((B,), jnp.nan, jnp.float32),
+        "w": jnp.full((12, B), jnp.nan, jnp.float32),
+        "sigma": jnp.full((B,), 1e6, jnp.float32),
+    }
+    s_init = jnp.tile(jnp.asarray([0.999, 1e-4, 0.3], jnp.float32)[:, None],
+                      (1, B))
+    Ps0 = np.diag([1e-4, 1e-6, 0.1]).astype(np.float32)
+    Ps_init = jnp.tile(jnp.asarray(Ps0)[:, :, None], (1, 1, B))
+    Q0 = np.diag([1e-8, 1e-8, 1e-4]).astype(np.float32)
+    Q = jnp.tile(jnp.asarray(Q0)[:, :, None], (1, 1, B))
+    s_final = jnp.full((3, B), jnp.nan, jnp.float32)
+    Ps_final = jnp.full((3, 3, B), jnp.nan, jnp.float32)
+
+    ref = ekf_smoother_bl(
+        si_alpha_ekf_system_bl(), jnp.asarray(u), jnp.asarray(x), params,
+        s_init, Ps_init, s_final, Ps_final, Q=Q, R=jnp.asarray(Rv),
+        gamma_discount=0.995, inv_monitor_len=21)
+
+    scal, vecs = pack_params3_for_kernel(params, Q)
+    ssm, sp, sm = ekf3_pallas(
+        jnp.asarray(u), jnp.asarray(x), jnp.asarray(Rv), scal, vecs,
+        s_init, Ps_init.reshape(9, B), s_final, Ps_final.reshape(9, B),
+        gamma_discount=0.995,
+        interpret=jax.default_backend() not in ("tpu", "axon"))
+    rho = rho_from_priors(sm, jnp.asarray(x), jnp.asarray(Rv), 21)
+
+    def scaled_err(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return (np.abs(a - b) / (np.abs(b) + 1.0)).max()
+
+    assert scaled_err(sp, ref.s_plus) < 1e-4
+    assert scaled_err(ssm, ref.s_smooth) < 1e-3
+    assert scaled_err(rho, ref.rho) < 1e-2
