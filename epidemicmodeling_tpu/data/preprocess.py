@@ -100,6 +100,7 @@ class RegionSeries(NamedTuple):
     new_cases_smoothed_norm: np.ndarray   # (T,) / population
     confirmed_smoothed_norm: np.ndarray   # (T,) cumulative / population
     new_deaths_smoothed: np.ndarray       # (T,)
+    confirmed_deaths: np.ndarray          # (T,) raw cumulative deaths
     npis: np.ndarray                      # (T, P) forward-filled
     obs_noise_var: np.ndarray             # (T,) R_v estimate
     population: float
@@ -132,6 +133,7 @@ def preprocess_region(confirmed, deaths, npis, population,
         new_cases_smoothed_norm=nc_smooth / pop,
         confirmed_smoothed_norm=conf_smooth / pop,
         new_deaths_smoothed=nd_smooth,
+        confirmed_deaths=np.nan_to_num(np.asarray(deaths, float)),
         npis=forward_fill_npis(npis),
         obs_noise_var=r_v,
         population=pop,
@@ -152,6 +154,8 @@ class RegionBatch(NamedTuple):
     length: np.ndarray              # (R,) true series length before padding
     valid: np.ndarray               # (R,) bool
     names: tuple                    # length-R tuple of "Country Region" ids
+    deaths_smoothed: np.ndarray = None     # (R, T) smoothed daily deaths
+    confirmed_deaths: np.ndarray = None    # (R, T) raw cumulative deaths
 
 
 def build_region_batch(series: Sequence[RegionSeries], names: Sequence[str],
@@ -174,6 +178,8 @@ def build_region_batch(series: Sequence[RegionSeries], names: Sequence[str],
     pops = np.zeros(R)
     length = np.zeros(R, np.int64)
     valid = np.zeros(R, bool)
+    nds = np.zeros((R, T))
+    cds = np.zeros((R, T))
 
     for r, s in enumerate(series):
         L = s.npis.shape[0]
@@ -186,8 +192,12 @@ def build_region_batch(series: Sequence[RegionSeries], names: Sequence[str],
         npis[r, L:] = s.npis[-1] if L else 0.0  # hold last NPI level
         rv[r, :L] = s.obs_noise_var
         rv[r, L:] = s.obs_noise_var.mean() if L else 0.0
+        nds[r, :L] = s.new_deaths_smoothed
+        cds[r, :L] = s.confirmed_deaths
+        if L:
+            cds[r, L:] = s.confirmed_deaths[-1]
         pops[r] = s.population
         length[r] = L
         valid[r] = s.valid
     return RegionBatch(obs, ncn, ccn, npis, rv, pops, length, valid,
-                       tuple(names))
+                       tuple(names), nds, cds)

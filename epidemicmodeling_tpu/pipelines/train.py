@@ -60,7 +60,8 @@ def estimate_mortality_beta(batch, deaths_smoothed, confirmed_deaths,
 
 
 def train_npi_prescriptor(batch, npi_mins, npi_maxes, num_regression_days,
-                          deaths_smoothed=None, confirmed_deaths=None,
+                          deaths_smoothed="from_batch",
+                          confirmed_deaths="from_batch",
                           trained_params_file: Optional[str] = None,
                           cfg: PipelineConfig = PipelineConfig(),
                           dtype=None):
@@ -69,6 +70,10 @@ def train_npi_prescriptor(batch, npi_mins, npi_maxes, num_regression_days,
     checkpoint save. Returns (TrainOutputs, MortalityEstimates | None)."""
     train_out = train_regions(batch, npi_mins, npi_maxes,
                               num_regression_days, cfg, dtype)
+    if isinstance(deaths_smoothed, str):
+        deaths_smoothed = batch.deaths_smoothed
+    if isinstance(confirmed_deaths, str):
+        confirmed_deaths = batch.confirmed_deaths
     mort = None
     if deaths_smoothed is not None and confirmed_deaths is not None:
         mort = estimate_mortality_beta(batch, deaths_smoothed,

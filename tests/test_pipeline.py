@@ -157,3 +157,28 @@ def test_regression_recovers_npi_influence(synth_files, pipeline_result):
         rel = (np.sqrt(np.mean((alpha_pred[t0:] - alpha_true[t0:]) ** 2))
                / np.mean(alpha_true[t0:]))
         assert rel < 0.5
+
+
+def test_train_npi_prescriptor_with_mortality(synth_files):
+    """Training-only entry + death-based mortality/beta estimates
+    (TrainNPIPrescriptor.m:264-273) using batch-carried death series."""
+    import pandas as pd
+    from epidemicmodeling_tpu.data.preprocess import (preprocess_region,
+                                                      build_region_batch)
+    from epidemicmodeling_tpu.pipelines.train import train_npi_prescriptor
+    truth = synth_files["truth"]
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        deaths = np.cumsum(0.01 * nc)
+        sers.append(preprocess_region(np.cumsum(nc)[:150], deaths[:150],
+                                      tr["u"][:150], tr["pop"]))
+        names.append(name)
+    batch = build_region_batch(sers, names)
+    out, mort = train_npi_prescriptor(batch, np.zeros(12),
+                                      NPI_MAXES_DEFAULT, 150)
+    assert mort is not None
+    # generated mortality is 1% of cases; smoothed ratio converges near it
+    assert np.all(np.abs(np.asarray(mort.med_recent_mortality) - 0.01)
+                  < 0.005)
+    assert np.isfinite(np.asarray(mort.med_recent_beta)).all()
