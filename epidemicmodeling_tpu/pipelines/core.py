@@ -631,11 +631,12 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
         if mesh is not None:
             # shard the epsilon ensemble axis over the 'ep' mesh axis so the
             # (E, R) lane grid occupies the full 2-D mesh
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _PS
             eps_chunk = jax.device_put(
-                eps_chunk, NamedSharding(mesh, P("ep")))
+                eps_chunk, NamedSharding(mesh, _PS("ep")))
             key_chunk = jax.device_put(
-                key_chunk, NamedSharding(mesh, P("ep", None)))
+                key_chunk, NamedSharding(mesh, _PS("ep", None)))
         if cfg.backend in ("lanes", "pallas"):
             outs.append(sweep_chunk_lanes(eps_chunk, key_chunk))
         else:

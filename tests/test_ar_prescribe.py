@@ -114,3 +114,36 @@ def test_backward_ekf_round_trip():
     # reverse must reproduce the trajectory.
     i_err = np.abs(np.asarray(res.s_plus[:, 1]) - np.asarray(i))
     assert np.median(i_err[20:-20] / np.asarray(i)[20:-20]) < 0.1
+
+
+def test_backward_costate_prescribes_bang_bang():
+    """Backward 6-state optimal-control filter: the time-reversed variant
+    must also fill NaN inputs with bang-bang prescriptions
+    (Tools/SIAlphaModelBackwardEKFOptControlled.m)."""
+    from epidemicmodeling_tpu.models import (
+        si_alpha_costate_backward_ekf_system, SIAlphaParams)
+    P = 12
+    T, T_hist = 90, 60
+    rng = np.random.default_rng(5)
+    u_max = np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4], float)
+    obs = np.abs(rng.normal(1e-4, 2e-5, T))
+    u = rng.integers(0, 3, (T, P)).astype(float)
+    u[T_hist:] = np.nan
+    obs[T_hist:] = np.nan
+    pr = SIAlphaParams(dt=1.0, beta=0.2, gamma=1 / 7,
+                       a=0.004 * rng.random(P), b=0.05, u_min=np.zeros(P),
+                       u_max=u_max, s_min=1e-6, i_min=1e-6, alpha_min=1e-8,
+                       alpha_max=100.0, epsilon=0.3, w=np.ones(P), sigma=1e6)
+    res = backward_ekf_smoother(
+        si_alpha_costate_backward_ekf_system(), jnp.asarray(u),
+        jnp.asarray(obs), pr,
+        s_init=jnp.array([0.999, 1e-4, 0.3, 0, 0, 0.0]),
+        Ps_init=jnp.diag(jnp.array([1e-4, 1e-6, 0.1, 1e-7, 1e-7, 1e-7])),
+        s_final=jnp.array([0.99, 1e-4, 0.3, 0, 0, 0.0]),
+        Ps_final=jnp.diag(jnp.array([1e-4, 1e-6, 0.1, 1e-7, 1e-7, 1e-7])),
+        Q=jnp.diag(jnp.array([1e-8, 1e-8, 1e-4, 1e-8, 1e-8, 1e-8])),
+        R=jnp.full(T, 4e-10))
+    # filled inputs over the NaN region sit at a bound; states finite
+    u_filled = np.asarray(res.u_opt)[T_hist:]
+    assert np.all((u_filled == 0.0) | (u_filled == u_max[None, :]))
+    assert np.isfinite(np.asarray(res.s_plus)).all()
