@@ -1,0 +1,5 @@
+from .plots import (plot_state_estimates, plot_scenarios, plot_pareto_cloud,
+                    plot_backtest_curves, select_optimal_index)
+
+__all__ = ["plot_state_estimates", "plot_scenarios", "plot_pareto_cloud",
+           "plot_backtest_curves", "select_optimal_index"]
