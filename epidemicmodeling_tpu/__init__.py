@@ -34,3 +34,24 @@ utils        shared math/date utilities
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: the most-used entry points importable directly as
+    ``from epidemicmodeling_tpu import train_predict_prescribe`` without
+    paying the import cost of every subpackage up front."""
+    _api = {
+        "train_predict_prescribe": ("pipelines", "train_predict_prescribe"),
+        "PipelineConfig": ("pipelines", "PipelineConfig"),
+        "forecast_quality_assessment": (
+            "pipelines.forecast_quality", "forecast_quality_assessment"),
+        "ekf_smoother": ("ops", "ekf_smoother"),
+        "epsilon_grid": ("control", "epsilon_grid"),
+        "NPI_MAXES_DEFAULT": ("data.preprocess", "NPI_MAXES_DEFAULT"),
+        "synthetic_oxford_frame": ("data", "synthetic_oxford_frame"),
+    }
+    if name in _api:
+        import importlib
+        mod, attr = _api[name]
+        return getattr(importlib.import_module(f"{__name__}.{mod}"), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

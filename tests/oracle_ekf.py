@@ -331,3 +331,77 @@ def si_alpha_costate_handles(obs_type="NEWCASES"):
         "StateJacobians": state_jacobians,
         "ObsJacobian": obs_jacobian,
     }
+
+
+# ---- oracle 2-state exponential-fit system with 2nd-order Hessian terms ----
+# (Tools/Rt_ExpFitEKF.m:119-227)
+
+def rt_expfit_handles(time_scale, alpha, sigma):
+    params = (time_scale, alpha, sigma)
+
+    def nlin_state_update(u, s_k, w_bar, p, k):
+        ts, al, sg = params
+        out = np.zeros(2)
+        out[0] = s_k[0] * np.exp(ts * s_k[1]) + w_bar[0]
+        out[1] = sg * np.tanh((al * s_k[1] + w_bar[1]) / sg)
+        return u, out
+
+    def state_jacobians(u, s_k, w_bar, p, k):
+        ts, al, sg = params
+        A = np.zeros((2, 2))
+        e = np.exp(ts * s_k[1])
+        A[0, 0] = e
+        A[0, 1] = ts * s_k[0] * e
+        tnh = np.tanh((al * s_k[1] + w_bar[1]) / sg)
+        A[1, 1] = al * (1 - tnh ** 2)
+        B = np.zeros((2, 2))
+        B[0, 0] = 1.0
+        B[1, 1] = 1 - tnh ** 2
+        return A, B
+
+    def nlin_obs_update(u, s_k, v_bar, p, k):
+        return np.array([s_k[0] + float(np.asarray(v_bar).reshape(-1)[0])])
+
+    def obs_jacobian(u, s_k, v_bar, p, k):
+        return np.array([[1.0, 0.0]]), np.eye(1)
+
+    def identity_margins(v, p, k):
+        return v
+
+    def state_hessian_terms(u, s_k, Pk, w_bar, Qk, p, k):
+        ts, al, sg = params
+        e = np.exp(ts * s_k[1])
+        tnh = np.tanh((al * s_k[1] + w_bar[1]) / sg)
+        Fs1 = np.zeros((2, 2))
+        Fs1[0, 1] = ts * e
+        Fs1[1, 0] = Fs1[0, 1]
+        Fs1[1, 1] = ts ** 2 * s_k[0] * e
+        Fs2 = np.zeros((2, 2))
+        Fs2[1, 1] = -2 * al ** 2 / sg * tnh * (1 - tnh ** 2)
+        Fw1 = np.zeros((2, 2))
+        Fw2 = np.zeros((2, 2))
+        Fw2[1, 1] = -2 / sg * tnh * (1 - tnh ** 2)
+
+        def trace_terms(M, Hs):
+            f = np.array([np.trace(M @ H) / 2 for H in Hs])
+            C = np.array([[np.trace(M @ Hi @ M @ Hj) / 2 for Hj in Hs]
+                          for Hi in Hs])
+            return f, C
+
+        fs, Cs = trace_terms(Pk, [Fs1, Fs2])
+        fw, Cw = trace_terms(Qk, [Fw1, Fw2])
+        return fs, Cs, fw, Cw
+
+    def obs_hessian_terms(u, s_k, Pk, v_bar, Rk, p, k):
+        return np.zeros(1), np.zeros((1, 1)), np.zeros(1), np.zeros((1, 1))
+
+    return {
+        "StateHardMargins": identity_margins,
+        "ObsHardMargins": identity_margins,
+        "NlinStateUpdate": nlin_state_update,
+        "NlinObsUpdate": nlin_obs_update,
+        "StateJacobians": state_jacobians,
+        "ObsJacobian": obs_jacobian,
+        "StateHessianTerms": state_hessian_terms,
+        "ObsHessianTerms": obs_hessian_terms,
+    }

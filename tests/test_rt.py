@@ -114,3 +114,40 @@ def test_cross_method_agreement():
     for est in (np.asarray(l_gr)[sl], np.asarray(l_lr)[sl],
                 np.asarray(l_ls)[sl], np.asarray(res.s_smooth[sl, 1])):
         assert abs(np.median(est) - lam) < 5e-3
+
+
+def test_second_order_ekf_matches_oracle():
+    """Order-2 EKF golden parity: the JAX rt estimator (pre-generic options)
+    vs the NumPy oracle running the same trace-based Hessian corrections."""
+    from tests import oracle_ekf
+    rng = np.random.default_rng(0)
+    T = 80
+    lam = 0.03
+    x = 5.0 * np.exp(lam * np.arange(T)) * np.exp(
+        0.02 * rng.standard_normal(T))
+    ts, al, sg = 1.0, 1.0, 1.0
+    s_init = np.array([5.0, 0.0])
+    Ps_init = np.diag([1.0, 0.1])
+    Q = np.diag([1e-2, 1e-4])
+    R = np.array([[1e-2]])
+    w_bar = np.zeros(2)
+    v_bar = np.zeros(1)
+
+    res = rt_expfit_ekf(jnp.asarray(x), s_init=jnp.asarray(s_init),
+                        time_scale=ts, alpha=al, sigma=sg,
+                        w_bar=jnp.asarray(w_bar), v_bar=jnp.asarray(v_bar),
+                        Ps_init=jnp.asarray(Ps_init), Q_w=jnp.asarray(Q),
+                        R_v=jnp.asarray(R), beta=1.0, gamma=1.0, order=2)
+
+    handles = oracle_ekf.rt_expfit_handles(ts, al, sg)
+    ref = oracle_ekf.generic_ekf(
+        np.zeros((1, T)), x.reshape(1, -1), handles, None, s_init, Ps_init,
+        np.full(2, np.nan), np.full((2, 2), np.nan), w_bar, v_bar, Q, R,
+        1.0, 1.0, 21, 2)
+    (u_opt, u_sm, S_MINUS, S_PLUS, S_SMOOTH, *_rest) = ref
+    # forward states match tightly; the oracle smoother uses pinv while the
+    # rt estimator uses the pre-generic solve, so smoothed states are looser
+    np.testing.assert_allclose(np.asarray(res.s_plus), S_PLUS.T,
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.s_smooth), S_SMOOTH.T,
+                               rtol=1e-4, atol=1e-7)
