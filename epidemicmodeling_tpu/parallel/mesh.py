@@ -80,7 +80,8 @@ def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
     from ..control import epsilon_grid
 
     fdtype = dtype or jnp.result_type(float)
-    cfg = PipelineConfig(pareto_chunk=E, num_monte_carlo=8)
+    cfg = PipelineConfig(pareto_chunk=E, num_monte_carlo=8,
+                         backend="lanes", smoother_gain="solve")
 
     _, _, truth = synthetic_oxford_frame(n_regions=R, n_days=T_hist, seed=0)
     sers, names = [], []

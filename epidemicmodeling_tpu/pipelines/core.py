@@ -398,6 +398,46 @@ def _scenarios_impl(u_fixed, u_zero, u_max_sched, obs, params, init,
             s_hist)
 
 
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist"))
+def _sweep_chunk_vmap_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
+                           QQ, PPs, ss_init, s_final, Ps_final, s_hist,
+                           w_daywise, init, *, cfg, T_hist):
+    """Module-level jitted generic-core (vmap) Pareto chunk — the parity
+    path, hoisted for the same compile-caching reason as the lanes impl."""
+    system6 = si_alpha_costate_ekf_system(cfg.observation_type)
+    R = obs.shape[0]
+    fdtype = obs.dtype
+
+    def finish_eps(res_u_opt_smooth, k_eps):
+        u_presc = res_u_opt_smooth[:, T_hist:, :]          # (R, H, P)
+        traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
+                             u_presc, k_eps)
+        s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
+        i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
+        al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
+        J0, J1 = npi_cost(s * i * al, jnp.swapaxes(res_u_opt_smooth, 1, 2),
+                          jnp.swapaxes(w_daywise, 1, 2))
+        return J0, J1, s, i, al, u_presc
+
+    def per_eps(eps, k_eps):
+        p_eps = dict(params)
+        p_eps["epsilon"] = jnp.full((R,), eps, fdtype)
+
+        def one_region(u_, x_, p_, si, Pi, sf, Pfm, Q_, Rv_):
+            return ekf_smoother(system6, u_, x_, p_, si, Pi, sf, Pfm,
+                                Q=Q_, R=Rv_, beta=cfg.beta_ekf,
+                                gamma_discount=cfg.gamma_ekf,
+                                inv_monitor_len=cfg.inv_monitor_len,
+                                order=cfg.order, outputs="light",
+                                smoother_gain=cfg.smoother_gain)
+
+        res = jax.vmap(one_region)(u_in, obs[..., None], p_eps, ss_init,
+                                   PPs, s_final, Ps_final, QQ, R_v)
+        return finish_eps(res.u_opt_smooth, k_eps)
+
+    return jax.vmap(per_eps)(eps_chunk, key_chunk)
+
+
 @_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "Ec"))
 def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
                             QQ, PPs, ss_init, s_final, Ps_final, s_hist,
@@ -525,7 +565,6 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     E = len(epsilon_values)
     obs = jnp.asarray(batch_full.observations, fdtype)
     npis = jnp.asarray(batch_full.npis, fdtype)
-    system6 = si_alpha_costate_ekf_system(cfg.observation_type)
 
     params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
     params["s_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
@@ -569,38 +608,11 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     w_daywise = jnp.broadcast_to(
         jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
 
-    def finish_eps(res_u_opt_smooth, k_eps):
-        """Shared post-EKS scoring for one epsilon: rollout + costs.
-        res_u_opt_smooth: (R, T_full, P)."""
-        u_presc = res_u_opt_smooth[:, T_hist:, :]          # (R, H, P)
-        traj = _rollout_from(cfg, init, params, s_hist[:, -1, :],
-                             u_presc, k_eps)
-        s = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
-        i = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
-        al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
-        J0, J1 = npi_cost(s * i * al, jnp.swapaxes(res_u_opt_smooth, 1, 2),
-                          jnp.swapaxes(w_daywise, 1, 2))
-        return J0, J1, s, i, al, u_presc
-
-    @jax.jit
     def sweep_chunk(eps_chunk, key_chunk):
-        def per_eps(eps, k_eps):
-            p_eps = dict(params)
-            p_eps["epsilon"] = jnp.full((R,), eps, fdtype)
-
-            def one_region(u_, x_, p_, si, Pi, sf, Pfm, Q_, Rv_):
-                return ekf_smoother(system6, u_, x_, p_, si, Pi, sf, Pfm,
-                                    Q=Q_, R=Rv_, beta=cfg.beta_ekf,
-                                    gamma_discount=cfg.gamma_ekf,
-                                    inv_monitor_len=cfg.inv_monitor_len,
-                                    order=cfg.order, outputs="light",
-                                    smoother_gain=cfg.smoother_gain)
-
-            res = jax.vmap(one_region)(u_in, obs[..., None], p_eps, ss_init,
-                                       PPs, s_final, Ps_final, QQ, R_v)
-            return finish_eps(res.u_opt_smooth, k_eps)
-
-        return jax.vmap(per_eps)(eps_chunk, key_chunk)
+        return _sweep_chunk_vmap_impl(
+            eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
+            s_final, Ps_final, jnp.asarray(s_hist, fdtype),
+            jnp.asarray(w_daywise, fdtype), init, cfg=cfg, T_hist=T_hist)
 
     def sweep_chunk_lanes(eps_chunk, key_chunk):
         if cfg.backend == "pallas" and (

@@ -57,7 +57,6 @@ def forecast_quality_assessment(batch, npi_mins, npi_maxes,
     T_train = T - num_forecast_days
 
     # train on the head window (same front-end as the flagship)
-    import dataclasses
     train_batch = batch._replace(
         observations=batch.observations[:, :T_train],
         new_cases_norm=batch.new_cases_norm[:, :T_train],

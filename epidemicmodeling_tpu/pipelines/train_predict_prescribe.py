@@ -16,8 +16,7 @@ import jax.numpy as jnp
 
 from ..data.preprocess import (preprocess_region, build_region_batch,
                                OXFORD_NPI_COLUMNS)
-from ..data.oxford import load_oxford_data, load_populations, load_geo_list, \
-    region_arrays
+from ..data.oxford import load_oxford_data, load_populations, load_geo_list
 from ..control import pareto_front_mask_batched
 from .config import PipelineConfig
 from .core import (train_regions, forecast_scenarios, pareto_prescribe,
@@ -70,7 +69,6 @@ def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
         series.append(s)
         names.append(gid)
         ent = sub[sub["DateNum"] <= d2]
-        from .config import PipelineConfig as _PC  # noqa
         from ..data.preprocess import forward_fill_npis
         actual_list.append(forward_fill_npis(
             ent[npi_columns].to_numpy(float)))
