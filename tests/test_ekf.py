@@ -225,3 +225,36 @@ def test_batched_ekf_vmaps_over_regions():
         Q=jnp.asarray(Q), R=jnp.asarray(R_v), gamma_discount=0.995)
     np.testing.assert_allclose(np.asarray(res.s_smooth[0]),
                                np.asarray(single.s_smooth), rtol=1e-12)
+
+
+def test_ekf_matches_oracle_totalcases():
+    """TOTALCASES observation model (x = 1 - s) parity vs the oracle."""
+    T = 100
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 3, size=(T, P_NPI)).astype(float)
+    a_true = 0.004 * rng.random(P_NPI)
+    pr = dict(dt=1.0, beta=0.15, gamma=1.0 / 7.0, a=a_true, b=0.05,
+              u_min=np.zeros(P_NPI), u_max=U_MAX, s_min=1e-6, i_min=1e-6,
+              alpha_min=1e-8, alpha_max=100.0)
+    s, i, al = si_alpha_controlled_rollout(
+        u, 0.999, 1e-4, 0.25, U_MAX, pr["alpha_min"], pr["alpha_max"],
+        pr["gamma"], a_true, pr["b"], pr["beta"], 0.0, 0.0, 0.0, T, 1.0)
+    obs = 1.0 - np.asarray(s) + 1e-5 * rng.standard_normal(T)
+    params = SIAlphaParams(**pr)
+    s_init = np.array([0.999, 1e-4, 0.25])
+    Ps_init = np.diag([1e-4, 1e-6, 0.1])
+    Q = np.diag([1e-8, 1e-8, 1e-4])
+    R_v = np.full(T, 1e-10)
+
+    res = ekf_smoother(
+        si_alpha_ekf_system("TOTALCASES"), jnp.asarray(u), jnp.asarray(obs),
+        params, jnp.asarray(s_init), jnp.asarray(Ps_init),
+        Q=jnp.asarray(Q), R=jnp.asarray(R_v), gamma_discount=0.995)
+
+    handles = oracle_ekf.si_alpha_handles("TOTALCASES")
+    pr_np = {k: np.asarray(v, float) for k, v in pr.items()}
+    ref = oracle_ekf.generic_ekf(
+        u.T, obs.reshape(1, -1), handles, pr_np, s_init, Ps_init,
+        np.full(3, np.nan), np.full((3, 3), np.nan), np.zeros(3),
+        np.zeros(1), Q, R_v, 1.0, 0.995, 21, 1)
+    assert_parity(res, ref)

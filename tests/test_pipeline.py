@@ -182,3 +182,29 @@ def test_train_npi_prescriptor_with_mortality(synth_files):
     assert np.all(np.abs(np.asarray(mort.med_recent_mortality) - 0.01)
                   < 0.005)
     assert np.isfinite(np.asarray(mort.med_recent_beta)).all()
+
+
+@pytest.mark.parametrize("regression_type", ["LASSO",
+                                             "NONNEGATIVELS-ELEMENT-WISE"])
+def test_train_regions_alternative_regressors(synth_files, regression_type):
+    """The LASSO / robust element-wise regression options must run vmapped
+    over regions and produce finite coefficients
+    (TrainPredictPrescribeNPI.m:21 REGRESSION_TYPE toggle)."""
+    from epidemicmodeling_tpu.data.preprocess import (preprocess_region,
+                                                      build_region_batch)
+    from epidemicmodeling_tpu.pipelines.core import train_regions
+    truth = synth_files["truth"]
+    sers, names = [], []
+    for name, tr in list(truth.items())[:2]:
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:120], None,
+                                      tr["u"][:120], tr["pop"]))
+        names.append(name)
+    batch = build_region_batch(sers, names)
+    cfg = PipelineConfig(regression_type=regression_type, lasso_cv_folds=5)
+    out = train_regions(batch, np.zeros(12), NPI_MAXES_DEFAULT, 120, cfg)
+    a2 = np.asarray(out.trained.a2)
+    assert a2.shape == (2, 12)
+    assert np.isfinite(a2).all()
+    if regression_type == "NONNEGATIVELS-ELEMENT-WISE":
+        assert (a2 >= 0).all()
