@@ -7,7 +7,8 @@ from .core import (
     monte_carlo_baseline,
 )
 from .train_predict_prescribe import train_predict_prescribe
-from .checkpoint import save_trained_params, load_trained_params
+from .checkpoint import (save_trained_params, load_trained_params,
+                         save_trained_params_orbax, load_trained_params_orbax)
 
 __all__ = [
     "PipelineConfig",
@@ -19,4 +20,6 @@ __all__ = [
     "train_predict_prescribe",
     "save_trained_params",
     "load_trained_params",
+    "save_trained_params_orbax",
+    "load_trained_params_orbax",
 ]

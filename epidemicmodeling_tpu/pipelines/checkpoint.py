@@ -41,3 +41,36 @@ def load_trained_params(path) -> TrainedRegionParams:
         population=z["population"],
         a1=z["a1"], b1=z["b1"], a2=z["a2"], b2=z["b2"],
     )
+
+
+def save_trained_params_orbax(directory, trained: TrainedRegionParams):
+    """Orbax-backed checkpoint of the trained-parameter pytree (sharded
+    array support, async-friendly) for users embedded in the JAX checkpoint
+    ecosystem. The .npz format above remains the portable default."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"population": np.asarray(trained.population),
+            "a1": np.asarray(trained.a1), "b1": np.asarray(trained.b1),
+            "a2": np.asarray(trained.a2), "b2": np.asarray(trained.b2)}
+    import os
+    directory = os.path.abspath(str(directory))
+    ckptr.save(directory, tree)
+    ckptr.wait_until_finished()
+    with open(directory + ".names.json", "w") as f:
+        json.dump(list(trained.names), f)
+    return directory
+
+
+def load_trained_params_orbax(directory) -> TrainedRegionParams:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    import os
+    directory = os.path.abspath(str(directory))
+    tree = ckptr.restore(directory)
+    with open(directory + ".names.json") as f:
+        names = tuple(json.load(f))
+    return TrainedRegionParams(names=names, population=tree["population"],
+                               a1=tree["a1"], b1=tree["b1"],
+                               a2=tree["a2"], b2=tree["b2"])

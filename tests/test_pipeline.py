@@ -208,3 +208,14 @@ def test_train_regions_alternative_regressors(synth_files, regression_type):
     assert np.isfinite(a2).all()
     if regression_type == "NONNEGATIVELS-ELEMENT-WISE":
         assert (a2 >= 0).all()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, pipeline_result):
+    from epidemicmodeling_tpu.pipelines.checkpoint import (
+        save_trained_params_orbax, load_trained_params_orbax)
+    res = pipeline_result
+    d = save_trained_params_orbax(tmp_path / "ckpt", res.trained)
+    loaded = load_trained_params_orbax(d)
+    assert loaded.names == res.trained.names
+    np.testing.assert_allclose(np.asarray(loaded.a2),
+                               np.asarray(res.trained.a2))
