@@ -364,8 +364,6 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     x = x.astype(f32)
     Rv = Rv.astype(f32)
 
-    lane_seg = lambda shape_prefix: None  # doc helper
-
     # ---- forward ----
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, t_seg=t_seg,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import functools as _functools
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

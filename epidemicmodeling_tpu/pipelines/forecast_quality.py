@@ -19,14 +19,13 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..ops import ekf_smoother
 from ..models import si_alpha_ekf_system
 from .config import PipelineConfig
-from .core import train_regions, _base_params, RegionInit
+from .core import train_regions, _base_params
 
 
 class BacktestResult(NamedTuple):

@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from .config import PipelineConfig
 from .core import train_regions, TrainOutputs

@@ -23,7 +23,7 @@ inside a single lax.scan. Agent count and obstacle count are static shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
