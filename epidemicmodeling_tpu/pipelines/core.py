@@ -334,8 +334,8 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
     params["s_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
     params["i_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
     params["R_v"] = jnp.asarray(batch_full.obs_noise_var, fdtype)
-    params["a"] = trained.a2
-    params["b"] = trained.b2
+    params["a"] = jnp.asarray(trained.a2, fdtype)
+    params["b"] = jnp.asarray(trained.b2, fdtype)
 
     w_daywise = jnp.broadcast_to(
         jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
@@ -569,8 +569,8 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
     params["s_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
     params["i_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
-    params["a"] = trained.a2
-    params["b"] = trained.b2
+    params["a"] = jnp.asarray(trained.a2, fdtype)
+    params["b"] = jnp.asarray(trained.b2, fdtype)
     params["w"] = jnp.broadcast_to(
         jnp.asarray(npi_weights, fdtype)[None, :], (R, P))
     R_v = jnp.asarray(batch_full.obs_noise_var, fdtype)
@@ -678,8 +678,8 @@ def monte_carlo_baseline(batch_full, trained: TrainedRegionParams,
     ip_hist = npis[:, :T_hist, :]
 
     params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
-    params["a"] = trained.a2
-    params["b"] = trained.b2
+    params["a"] = jnp.asarray(trained.a2, fdtype)
+    params["b"] = jnp.asarray(trained.b2, fdtype)
 
     if key is None:
         key = jax.random.PRNGKey(0)
