@@ -7,7 +7,8 @@ from .preprocess import (
     RegionBatch,
     build_region_batch,
 )
-from .oxford import load_oxford_data, load_populations, load_geo_list
+from .oxford import (load_oxford_data, load_populations, load_geo_list,
+                     load_npi_costs)
 from .synthetic import synthetic_oxford_frame
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "clean_case_series", "forward_fill_npis", "preprocess_region",
     "RegionBatch", "build_region_batch",
     "load_oxford_data", "load_populations", "load_geo_list",
+    "load_npi_costs",
     "synthetic_oxford_frame",
 ]

@@ -72,3 +72,24 @@ def region_arrays(df: pd.DataFrame, geo_id: str,
     return (sub["ConfirmedCases"].to_numpy(float),
             sub["ConfirmedDeaths"].to_numpy(float),
             sub[npi_columns].to_numpy(float))
+
+def load_npi_costs(path, geo_ids: Sequence[str],
+                   npi_columns: Optional[Sequence[str]] = None) -> np.ndarray:
+    """NPI cost-weight CSV (fixed_equal_costs.csv / uniform_random_costs.csv:
+    CountryName, RegionName, one column per NPI) -> (R, P) weights aligned to
+    geo_ids, mirroring the per-geo weight lookup of
+    Tools/TrainPredictPrescribeNPI.m:109-127. Geos missing from the file get
+    equal weight 1."""
+    npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
+    df = pd.read_csv(path, dtype={"CountryName": str, "RegionName": str})
+    df = df.assign(GeoID=_geo_id(df["CountryName"], df["RegionName"]))
+    df = df.set_index("GeoID")
+    P = len(npi_columns)
+    out = np.ones((len(geo_ids), P), float)
+    for r, gid in enumerate(geo_ids):
+        if gid in df.index:
+            row = df.loc[gid]
+            if isinstance(row, pd.DataFrame):
+                row = row.iloc[0]
+            out[r] = np.asarray([float(row[c]) for c in npi_columns])
+    return out

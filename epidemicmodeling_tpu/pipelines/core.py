@@ -312,6 +312,21 @@ def _rollout_from(cfg, init, params, s0, u_future, key=None):
     return jax.vmap(one)(s0, u_future, noise, p_batched)
 
 
+def _region_weights(npi_weights, R, P, fdtype):
+    """NPI cost weights: accept a shared (P,) vector (fixed_equal_costs.csv)
+    or per-region (R, P) weights (uniform_random_costs.csv) — the reference
+    reads one weight row per geo (Tools/TrainPredictPrescribeNPI.m:109-127).
+    Returns (R, P)."""
+    w = jnp.asarray(npi_weights, fdtype)
+    if w.ndim == 1:
+        w = jnp.broadcast_to(w[None, :], (R, P))
+    if w.shape != (R, P):
+        raise ValueError(
+            f"npi_weights must be (P,)=(({P},)) or (R,P)=({R},{P}); "
+            f"got {w.shape}")
+    return w
+
+
 def forecast_scenarios(batch_full, trained: TrainedRegionParams,
                        init: RegionInit, npi_weights, npi_mins, npi_maxes,
                        T_hist: int, cfg: PipelineConfig = PipelineConfig(),
@@ -338,7 +353,8 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
     params["b"] = jnp.asarray(trained.b2, fdtype)
 
     w_daywise = jnp.broadcast_to(
-        jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
+        _region_weights(npi_weights, R, P, fdtype)[:, None, :],
+        (R, T_full, P))
 
     ip_hist = npis[:, :T_hist, :]
     ip_last = ip_hist[:, -1:, :]
@@ -532,7 +548,7 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
     full_states = jnp.concatenate([s_hist_bl, traj], axis=0)   # (T, 3, Bl)
     cases = full_states[:, 0] * full_states[:, 1] * full_states[:, 2]
     J0 = jnp.mean(cases, axis=0)
-    J1 = jnp.mean(w_vec[None, :, None] * u_sm, axis=(0, 1))
+    J1 = jnp.mean(tile_lanes(w_vec)[None] * u_sm, axis=(0, 1))
 
     unb = lambda a: jnp.moveaxis(a.reshape(a.shape[:-1] + (Ec, R)),
                                  (-2, -1), (0, 1))
@@ -571,8 +587,7 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     params["i_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
     params["a"] = jnp.asarray(trained.a2, fdtype)
     params["b"] = jnp.asarray(trained.b2, fdtype)
-    params["w"] = jnp.broadcast_to(
-        jnp.asarray(npi_weights, fdtype)[None, :], (R, P))
+    params["w"] = _region_weights(npi_weights, R, P, fdtype)
     R_v = jnp.asarray(batch_full.obs_noise_var, fdtype)
 
     # 6-state augmentation (:425-457)
@@ -606,7 +621,8 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
         [npis[:, :T_hist, :], jnp.full((R, H, P), jnp.nan, fdtype)], axis=1)
 
     w_daywise = jnp.broadcast_to(
-        jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
+        _region_weights(npi_weights, R, P, fdtype)[:, None, :],
+        (R, T_full, P))
 
     def sweep_chunk(eps_chunk, key_chunk):
         return _sweep_chunk_vmap_impl(
@@ -621,7 +637,7 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
             raise ValueError(
                 "backend='pallas' supports NEWCASES, order=1, beta_ekf=1 "
                 "only; use backend='lanes'")
-        w_vec = jnp.asarray(npi_weights, fdtype).reshape(P)
+        w_vec = _region_weights(npi_weights, R, P, fdtype)
         return _sweep_chunk_lanes_impl(
             eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
             s_final, Ps_final, jnp.asarray(s_hist, fdtype), w_vec,
@@ -688,7 +704,8 @@ def monte_carlo_baseline(batch_full, trained: TrainedRegionParams,
     u_rand = u_rand.astype(fdtype)
 
     w_daywise = jnp.broadcast_to(
-        jnp.asarray(npi_weights, fdtype)[None, None, :], (R, T_full, P))
+        _region_weights(npi_weights, R, P, fdtype)[:, None, :],
+        (R, T_full, P))
 
     keys = jax.random.split(k_noise, N)
     J0, J1 = _monte_carlo_impl(u_rand, keys, ip_hist, s_hist, params,

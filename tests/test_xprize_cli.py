@@ -1,0 +1,181 @@
+"""XPRIZE CLI driver + per-region NPI cost weights.
+
+Covers testScripts/testPrescribeXPRIZE02.m (the Phase-II entry point: config
+-> full pipeline -> prescription CSVs) and the per-geo weight rows of
+Tools/TrainPredictPrescribeNPI.m:109-127 (uniform_random_costs.csv)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from epidemicmodeling_tpu.data import (synthetic_oxford_frame,
+                                       OXFORD_NPI_COLUMNS,
+                                       NPI_MAXES_DEFAULT)
+from epidemicmodeling_tpu.data.oxford import load_npi_costs
+
+
+@pytest.fixture(scope="module")
+def cli_files(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    df, pops, _ = synthetic_oxford_frame(n_regions=3, n_days=160, seed=5)
+    df.to_csv(tmp / "oxford.csv", index=False)
+    pops.to_csv(tmp / "populations.csv", index=False)
+    pops[["CountryName", "RegionName"]].to_csv(tmp / "geos.csv", index=False)
+    rng = np.random.default_rng(1)
+    costs = pops[["CountryName", "RegionName"]].copy()
+    for c in OXFORD_NPI_COLUMNS:
+        costs[c] = rng.uniform(0.5, 2.0, len(costs)).round(3)
+    costs.to_csv(tmp / "costs.csv", index=False)
+    return tmp, costs
+
+
+def test_load_npi_costs_alignment(cli_files):
+    tmp, costs = cli_files
+    geo_ids = [f"{c} " for c in costs["CountryName"]]
+    w = load_npi_costs(tmp / "costs.csv", geo_ids)
+    assert w.shape == (3, 12)
+    np.testing.assert_allclose(
+        w, costs[OXFORD_NPI_COLUMNS].to_numpy(float))
+    # unknown geo falls back to equal weight 1
+    w2 = load_npi_costs(tmp / "costs.csv", ["Nowhere "] + geo_ids)
+    np.testing.assert_array_equal(w2[0], np.ones(12))
+    np.testing.assert_allclose(w2[1:], w)
+
+
+def test_cli_end_to_end(cli_files):
+    tmp, _ = cli_files
+    from epidemicmodeling_tpu.pipelines.xprize_cli import main
+    rc = main([
+        "--data", str(tmp / "oxford.csv"),
+        "--geos", str(tmp / "geos.csv"),
+        "--populations", str(tmp / "populations.csv"),
+        "--costs", str(tmp / "costs.csv"),
+        "--start-train", "2020-03-01", "--end-train", "2020-07-09",
+        "--end-predict", "2020-08-08",
+        "--num-epsilon", "8", "--num-prescriptions", "3",
+        "--backend", "lanes", "--pareto-chunk", "8",
+        "--prescriptions-out", str(tmp / "presc.csv"),
+        "--predictions-out", str(tmp / "pred.csv"),
+        "--trained-params-out", str(tmp / "trained.npz"),
+        "--summary-out", str(tmp / "summary.json"),
+    ])
+    assert rc == 0
+
+    presc = pd.read_csv(tmp / "presc.csv")
+    assert list(presc.columns[:4]) == ["PrescriptionIndex", "CountryName",
+                                       "RegionName", "Date"]
+    assert list(presc.columns[4:]) == OXFORD_NPI_COLUMNS
+    assert sorted(presc["PrescriptionIndex"].unique()) == [0, 1, 2]
+    assert presc["Date"].min() == "2020-07-10"   # day after end-train
+    u = presc[OXFORD_NPI_COLUMNS].to_numpy()
+    assert (u >= 0).all() and (u <= NPI_MAXES_DEFAULT[None, :]).all()
+    # bang-bang: every cell is at the min or max of its NPI
+    assert np.all((u == 0) | (u == NPI_MAXES_DEFAULT[None, :]))
+
+    pred = pd.read_csv(tmp / "pred.csv")
+    assert (pred["PredictedDailyNewCases"] >= 0).all()
+
+    summary = json.loads((tmp / "summary.json").read_text())
+    assert len(summary["epsilon"]) == 8
+    assert len(summary["pareto_front_sizes"]) == 3
+
+    z = np.load(tmp / "trained.npz")
+    assert z["a2"].shape == (3, 12)
+
+
+def test_per_region_weights_match_shared_when_equal(cli_files):
+    """(R, P) weights with identical rows must reproduce the (P,) result
+    bit-for-bit through the Pareto sweep."""
+    import jax.numpy as jnp
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import (
+        train_regions, forecast_scenarios, pareto_prescribe)
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        build_batches_from_frames
+    from epidemicmodeling_tpu.data.oxford import (load_oxford_data,
+                                                  load_populations,
+                                                  load_geo_list)
+    from epidemicmodeling_tpu.control import epsilon_grid
+
+    tmp, _ = cli_files
+    df = load_oxford_data(tmp / "oxford.csv", None, "2020-03-01",
+                          "2020-08-08")
+    pops = load_populations(tmp / "populations.csv")
+    geo_ids = load_geo_list(tmp / "geos.csv")
+    bt, bf, _, T_hist, _ = build_batches_from_frames(
+        df, pops, geo_ids, "2020-03-01", "2020-07-09", "2020-08-08")
+
+    P, R = 12, 3
+    w_shared = 1.3 * np.ones(P)
+    w_perreg = np.tile(w_shared[None, :], (R, 1))
+    eps = np.asarray(epsilon_grid(4))
+    cfg = PipelineConfig(backend="lanes", pareto_chunk=4)
+    to = train_regions(bt, np.zeros(P), NPI_MAXES_DEFAULT, T_hist, cfg,
+                       dtype=jnp.float32)
+    outs = {}
+    for tag, w in [("shared", w_shared), ("perreg", w_perreg)]:
+        _, s_hist = forecast_scenarios(bf, to.trained, to.init, w,
+                                       np.zeros(P), NPI_MAXES_DEFAULT,
+                                       T_hist, cfg, dtype=jnp.float32)
+        outs[tag] = pareto_prescribe(bf, to.trained, to.init, s_hist, eps,
+                                     w, np.zeros(P), NPI_MAXES_DEFAULT,
+                                     T_hist, cfg, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(outs["shared"]["u_prescribed"]),
+        np.asarray(outs["perreg"]["u_prescribed"]))
+    np.testing.assert_array_equal(np.asarray(outs["shared"]["J1"]),
+                                  np.asarray(outs["perreg"]["J1"]))
+
+
+def test_per_region_weights_shift_prescriptions(cli_files):
+    """Making one region's NPIs 100x more expensive must reduce (or keep
+    equal) its prescribed NPI burden at every epsilon, leaving the other
+    regions' prescriptions unchanged."""
+    import jax.numpy as jnp
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import (
+        train_regions, forecast_scenarios, pareto_prescribe)
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        build_batches_from_frames
+    from epidemicmodeling_tpu.data.oxford import (load_oxford_data,
+                                                  load_populations,
+                                                  load_geo_list)
+
+    tmp, _ = cli_files
+    df = load_oxford_data(tmp / "oxford.csv", None, "2020-03-01",
+                          "2020-08-08")
+    pops = load_populations(tmp / "populations.csv")
+    geo_ids = load_geo_list(tmp / "geos.csv")
+    bt, bf, _, T_hist, _ = build_batches_from_frames(
+        df, pops, geo_ids, "2020-03-01", "2020-07-09", "2020-08-08")
+
+    P, R = 12, 3
+    # mid-range epsilons: the 100x price hike must push the switching
+    # function epsilon*w - gamma*lambda3*a past zero for at least one of them
+    eps = np.array([1e-4, 1e-3, 1e-2, 1e-1])
+    cfg = PipelineConfig(backend="lanes", pareto_chunk=4)
+    to = train_regions(bt, np.zeros(P), NPI_MAXES_DEFAULT, T_hist, cfg,
+                       dtype=jnp.float32)
+
+    w_base = np.ones((R, P))
+    w_pricey = w_base.copy()
+    w_pricey[1] *= 100.0
+    outs = {}
+    for tag, w in [("base", w_base), ("pricey", w_pricey)]:
+        _, s_hist = forecast_scenarios(bf, to.trained, to.init, w,
+                                       np.zeros(P), NPI_MAXES_DEFAULT,
+                                       T_hist, cfg, dtype=jnp.float32)
+        outs[tag] = pareto_prescribe(bf, to.trained, to.init, s_hist, eps,
+                                     w, np.zeros(P), NPI_MAXES_DEFAULT,
+                                     T_hist, cfg, dtype=jnp.float32)
+    u_b = np.asarray(outs["base"]["u_prescribed"])    # (E, R, H, P)
+    u_p = np.asarray(outs["pricey"]["u_prescribed"])
+    # untouched regions identical
+    np.testing.assert_array_equal(u_b[:, [0, 2]], u_p[:, [0, 2]])
+    # pricey region: burden never increases, and strictly drops somewhere
+    burden_b = u_b[:, 1].sum(axis=(1, 2))
+    burden_p = u_p[:, 1].sum(axis=(1, 2))
+    assert (burden_p <= burden_b).all()
+    assert (burden_p < burden_b).any()
