@@ -333,9 +333,23 @@ def _bwd_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
 # host wrappers
 # --------------------------------------------------------------------------
 
-def _pick_seg(T):
-    """Largest segment length <= 80 that divides T (pad handled by caller)."""
-    for seg in range(80, 0, -1):
+def _pick_bt(B):
+    """Lane-tile width: widest of (512, 256, 128) dividing B. Wider tiles
+    fill more VPU sublanes per op — measured 55ms -> 41ms per 6144-lane
+    chunk at bench scale (531 days) going 128 -> 512, bit-identical output.
+    Small batches (tests, B=128) keep the narrow tile."""
+    for bt in (512, 256, 128):
+        if B % bt == 0:
+            return bt
+    raise ValueError(f"B={B} must be a multiple of 128")
+
+
+def _pick_seg(T, bt=BT):
+    """Largest segment length that divides T within the VMEM budget
+    (~bt * t_seg * 96 floats of double-buffered block storage; the cap
+    128*80 per 128-lane tile was tuned on v5e)."""
+    cap = max(8, (128 * 80) // bt)
+    for seg in range(cap, 0, -1):
         if T % seg == 0:
             return seg
     return T
@@ -355,8 +369,8 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     Returns (S_SMOOTH (T, M, B), U_OPT_SMOOTH (T, NPI, B), S_PLUS (T, M, B)).
     """
     T, _, B = u.shape
-    assert B % BT == 0, f"B={B} must be a multiple of {BT}"
-    t_seg = _pick_seg(T)
+    BT = _pick_bt(B)
+    t_seg = _pick_seg(T, BT)
     n_segs = T // t_seg
     n_lane = B // BT
     f32 = jnp.float32
@@ -418,7 +432,7 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     # shifted inputs for the backward pass over t = 0..T-2:
     #   S_MINUS[t+1], P_MINUS[t+1]
     Tb = T - 1
-    t_seg_b = _pick_seg(Tb)
+    t_seg_b = _pick_seg(Tb, BT)
     n_segs_b = Tb // t_seg_b
 
     bwd = pl.pallas_call(

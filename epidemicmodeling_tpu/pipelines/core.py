@@ -486,7 +486,9 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
     if cfg.backend == "pallas":
         from ..ops.pallas.ekf6_kernel import (ekf6_pallas,
                                               pack_params_for_kernel)
-        pad = (-Bl) % 128
+        # pad lanes to the kernel tile: wide 512-lane tiles for production
+        # batches (fills more VPU sublanes), narrow for small/test batches
+        pad = (-Bl) % (512 if Bl >= 2048 else 128)
         padl = lambda a: (a if pad == 0 else jnp.concatenate(
             [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
         params_p = {k: padl(v) for k, v in params_bl.items()}
