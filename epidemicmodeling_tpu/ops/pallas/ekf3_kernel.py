@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ekf6_kernel import _clip_lo_hi, _clip_hi_lo, _pick_seg
+from .ekf6_kernel import _clip_lo_hi, _clip_hi_lo, _pick_seg, _pick_bt
 
 M3 = 3
 NPI = 12
@@ -247,8 +247,8 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     Returns (S_SMOOTH (T,3,B), S_PLUS (T,3,B), S_MINUS (T,3,B)).
     """
     T, _, B = u.shape
-    assert B % BT == 0
-    t_seg = _pick_seg(T)
+    BT = _pick_bt(B)
+    t_seg = _pick_seg(T, BT)
     n_segs = T // t_seg
     n_lane = B // BT
     f32 = jnp.float32
@@ -303,7 +303,7 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     PT = jnp.where(jnp.isnan(Ps_final), P_PLUS[-1], Ps_final)
 
     Tb = T - 1
-    t_seg_b = _pick_seg(Tb)
+    t_seg_b = _pick_seg(Tb, BT)
     n_segs_b = Tb // t_seg_b
 
     bwd = pl.pallas_call(
