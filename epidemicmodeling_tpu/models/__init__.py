@@ -4,6 +4,7 @@ from .seirp import seirp_step, seirp_rollout, seirp_saturated_step, seirp_satura
 from .si_alpha import (
     si_controlled_rollout,
     si_alpha_step,
+    si_alpha_step_fields,
     si_alpha_controlled_rollout,
     SIAlphaParams,
     si_alpha_ekf_system,
@@ -22,6 +23,7 @@ __all__ = [
     "seirp_saturated_rollout",
     "si_controlled_rollout",
     "si_alpha_step",
+    "si_alpha_step_fields",
     "si_alpha_controlled_rollout",
     "SIAlphaParams",
     "si_alpha_ekf_system",

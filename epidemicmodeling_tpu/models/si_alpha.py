@@ -43,6 +43,27 @@ def si_controlled_rollout(alpha, beta, s0, i0, K, dt):
     return traj[:, 0], traj[:, 1]
 
 
+def si_alpha_step_fields(s, i, al, u_t, n_s, n_i, n_al, params):
+    """One Euler step of the controlled SI-alpha model on unpacked state
+    fields (Tools/SIalpha_Controlled.m:25-27). Everything broadcasts: the
+    fields and noise draws are (...,) batches, u_t and params["a"]/["u_max"]
+    are (..., p). Batched callers carry plain (B,) arrays through lax.scan
+    instead of a stacked (..., 3) state — a trailing 3-wide axis pads to the
+    128-lane TPU tile (~43x HBM waste inside the scan)."""
+    dt = params["dt"]
+    s1 = clip_lo_hi(
+        s - dt * (al * s * i + n_s * params["s_noise_std"]), 0.0, 1.0)
+    i1 = clip_lo_hi(
+        i + dt * (al * s * i - params["beta"] * i
+                  + n_i * params["i_noise_std"]), 0.0, 1.0)
+    drive = (-params["gamma"] * al + params["gamma"] * params["b"]
+             + params["gamma"] * jnp.sum(
+                 params["a"] * (params["u_max"] - u_t), axis=-1)
+             + n_al * params["alpha_noise_std"])
+    a1 = clip_lo_hi(al + dt * drive, params["alpha_min"], params["alpha_max"])
+    return s1, i1, a1
+
+
 def si_alpha_step(state, u_t, noise_t, params):
     """One Euler step of the controlled SI-alpha model with additive process
     noise inside the derivative (Tools/SIalpha_Controlled.m:25-27).
@@ -50,17 +71,9 @@ def si_alpha_step(state, u_t, noise_t, params):
     state: (3,) [s, i, alpha]; u_t: (p,) NPI input; noise_t: (3,) standard
     normal draws (pass zeros for the deterministic model).
     """
-    s, i, al = state[0], state[1], state[2]
-    dt = params["dt"]
-    s1 = clip_lo_hi(
-        s - dt * (al * s * i + noise_t[0] * params["s_noise_std"]), 0.0, 1.0)
-    i1 = clip_lo_hi(
-        i + dt * (al * s * i - params["beta"] * i
-                  + noise_t[1] * params["i_noise_std"]), 0.0, 1.0)
-    drive = (-params["gamma"] * al + params["gamma"] * params["b"]
-             + params["gamma"] * jnp.dot(params["a"], params["u_max"] - u_t)
-             + noise_t[2] * params["alpha_noise_std"])
-    a1 = clip_lo_hi(al + dt * drive, params["alpha_min"], params["alpha_max"])
+    s1, i1, a1 = si_alpha_step_fields(state[0], state[1], state[2], u_t,
+                                      noise_t[0], noise_t[1], noise_t[2],
+                                      params)
     return jnp.stack([s1, i1, a1])
 
 

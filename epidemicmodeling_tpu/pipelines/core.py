@@ -22,7 +22,7 @@ from ..models import (
     si_alpha_ekf_system,
     si_alpha_costate_ekf_system,
 )
-from ..models.si_alpha import si_alpha_step
+from ..models.si_alpha import si_alpha_step_fields
 from ..ops import ekf_smoother
 from ..regression import nnls_with_intercept, lasso_cv, \
     robust_affine_fit_elementwise
@@ -276,30 +276,19 @@ def _rollout_from(cfg, init, params, s0, u_future, key=None):
     (Tools/SIalpha_Controlled.m semantics, batched over regions).
 
     s0: (R, 3); u_future: (R, H, P). Returns (R, H, 3) trajectories (initial
-    condition excluded)."""
+    condition excluded).
+
+    The scan carries three (R,) field arrays rather than a stacked (R, 3)
+    state: the trailing 3-wide axis would pad to the 128-lane TPU tile on
+    every scan step (43x HBM traffic; dominant when an outer vmap multiplies
+    the batch, e.g. the 500-scenario Monte-Carlo baseline)."""
     R, H, P = u_future.shape
-
-    def one(s0_r, u_r, noise_r, p_r):
-        pr = {"dt": p_r["dt"], "beta": p_r["beta"], "gamma": p_r["gamma"],
-              "a": p_r["a"], "b": p_r["b"], "u_max": p_r["u_max"],
-              "alpha_min": p_r["alpha_min"], "alpha_max": p_r["alpha_max"],
-              "s_noise_std": p_r["s_noise_std"],
-              "i_noise_std": p_r["i_noise_std"],
-              "alpha_noise_std": p_r["alpha_noise_std"]}
-
-        def body(carry, inp):
-            u_t, n_t = inp
-            nxt = si_alpha_step(carry, u_t, n_t, pr)
-            return nxt, nxt
-
-        _, traj = jax.lax.scan(body, s0_r, (u_r, noise_r))
-        return traj
+    fdt = s0.dtype
 
     if key is None or not cfg.stochastic_forecast:
-        noise = jnp.zeros((R, H, 3), s0.dtype)
+        noise = jnp.zeros((R, H, 3), fdt)
     else:
-        noise = jax.random.normal(key, (R, H, 3), s0.dtype)
-    fdt = s0.dtype
+        noise = jax.random.normal(key, (R, H, 3), fdt)
     p_batched = {
         "dt": params["dt"], "beta": params["beta"], "gamma": params["gamma"],
         "a": params["a"], "b": params["b"], "u_max": params["u_max"],
@@ -309,7 +298,18 @@ def _rollout_from(cfg, init, params, s0, u_future, key=None):
                                          cfg.alpha_noise_std),
     }
     p_batched = {k: jnp.asarray(v, fdt) for k, v in p_batched.items()}
-    return jax.vmap(one)(s0, u_future, noise, p_batched)
+
+    def body(carry, inp):
+        s, i, al = carry
+        u_t, n_t = inp                       # (R, P), (R, 3)
+        s1, i1, a1 = si_alpha_step_fields(
+            s, i, al, u_t, n_t[..., 0], n_t[..., 1], n_t[..., 2], p_batched)
+        return (s1, i1, a1), (s1, i1, a1)
+
+    _, (ss, ii, aa) = jax.lax.scan(
+        body, (s0[..., 0], s0[..., 1], s0[..., 2]),
+        (jnp.moveaxis(u_future, 1, 0), jnp.moveaxis(noise, 1, 0)))
+    return jnp.moveaxis(jnp.stack([ss, ii, aa], axis=-1), 0, 1)
 
 
 def _region_weights(npi_weights, R, P, fdtype):
