@@ -216,25 +216,22 @@ def _regress(cfg: PipelineConfig, x_data, y_data):
     raise ValueError(f"unknown regression_type {cfg.regression_type!r}")
 
 
-def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
-                  cfg: PipelineConfig = PipelineConfig(),
-                  dtype=None) -> TrainOutputs:
-    """Two-round EKF + regression training over all regions at once
-    (TrainPredictPrescribeNPI.m:199-354).
-
-    batch: RegionBatch over the TRAINING window (no forecast horizon).
-    """
-    fdtype = dtype or jnp.result_type(float)
-    R, T = batch.observations.shape
-    P = batch.npis.shape[-1]
-    obs = jnp.asarray(batch.observations, fdtype)
-    npis = jnp.asarray(batch.npis, fdtype)
-    init = region_init(batch, cfg)
+@_functools.partial(jax.jit, static_argnames=("cfg", "num_regression_days",
+                                               "fdtype"))
+def _train_impl(obs, npis, npi_mins, npi_maxes, population, obs_noise_var,
+                init, *, cfg, num_regression_days, fdtype):
+    """Module-level jitted training body: both EKF rounds, both regressions
+    and every dtype cast run as ONE executable. The previous eager body cost
+    ~40 per-primitive dispatches x ~4ms tunnel latency per pipeline call."""
+    R, T = obs.shape
+    P = npis.shape[-1]
+    obs = jnp.asarray(obs, fdtype)
+    npis = jnp.asarray(npis, fdtype)
 
     params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
-    params["s_min"] = jnp.asarray(cfg.min_cases / batch.population, fdtype)
-    params["i_min"] = jnp.asarray(cfg.min_cases / batch.population, fdtype)
-    params["R_v"] = jnp.asarray(batch.obs_noise_var, fdtype)
+    params["s_min"] = jnp.asarray(cfg.min_cases / population, fdtype)
+    params["i_min"] = jnp.asarray(cfg.min_cases / population, fdtype)
+    params["R_v"] = jnp.asarray(obs_noise_var, fdtype)
 
     # ROUND 1: zero control input, zero NPI influence (:199-248)
     u_zero = jnp.zeros((R, T, P), fdtype)
@@ -255,11 +252,31 @@ def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
     y2 = res2.s_smooth[:, T - num_regression_days:, 2]
     a2, b2 = jax.vmap(lambda xd, yd: _regress(cfg, xd, yd))(x_win, y2)
 
+    return (a1, b1, a2, b2, res1.s_smooth, res2.s_smooth,
+            res1.rho[..., 0, 0], res2.rho[..., 0, 0])
+
+
+def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
+                  cfg: PipelineConfig = PipelineConfig(),
+                  dtype=None) -> TrainOutputs:
+    """Two-round EKF + regression training over all regions at once
+    (TrainPredictPrescribeNPI.m:199-354).
+
+    batch: RegionBatch over the TRAINING window (no forecast horizon).
+    """
+    fdtype = dtype or jnp.result_type(float)
+    init = region_init(batch, cfg)
+    a1, b1, a2, b2, s_sm1, s_sm2, rho1, rho2 = _train_impl(
+        np.asarray(batch.observations), np.asarray(batch.npis),
+        np.asarray(npi_mins, float), np.asarray(npi_maxes, float),
+        np.asarray(batch.population), np.asarray(batch.obs_noise_var),
+        init, cfg=cfg, num_regression_days=int(num_regression_days),
+        fdtype=np.dtype(fdtype))
+
     trained = TrainedRegionParams(
         names=batch.names, population=np.asarray(batch.population),
         a1=a1, b1=b1, a2=a2, b2=b2)
-    return TrainOutputs(trained, init, res1.s_smooth, res2.s_smooth,
-                        res1.rho[..., 0, 0], res2.rho[..., 0, 0])
+    return TrainOutputs(trained, init, s_sm1, s_sm2, rho1, rho2)
 
 
 class ScenarioResult(NamedTuple):
@@ -562,35 +579,26 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
             u_out)
 
 
-def pareto_prescribe(batch_full, trained: TrainedRegionParams,
-                     init: RegionInit, s_hist, epsilon_values, npi_weights,
-                     npi_mins, npi_maxes, T_hist: int,
-                     cfg: PipelineConfig = PipelineConfig(), key=None,
-                     dtype=None, mesh=None):
-    """The Pareto sweep (TrainPredictPrescribeNPI.m:414-494): for every
-    epsilon, run the 6-state optimal-control EKS with NaN future inputs and
-    costate terminal conditions, re-simulate the prescribed schedule, and
-    score (J0, J1).
-
-    epsilon is a second vmapped axis, processed in chunks of
-    ``cfg.pareto_chunk`` to bound HBM. Returns dict with J0/J1 (E, R),
-    trajectories (E, R, T_full) and prescriptions (E, R, H, P).
-    """
-    fdtype = dtype or jnp.result_type(float)
-    R, T_full = batch_full.observations.shape
-    P = batch_full.npis.shape[-1]
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "fdtype"))
+def _pareto_prep_impl(obs, npis, population, obs_noise_var, a2, b2,
+                      npi_mins, npi_maxes, npi_weights, init, s_hist, *,
+                      cfg, T_hist, fdtype):
+    """Jitted Pareto-sweep input prep: the 6-state augmentation, terminal
+    conditions and weight layout run as one executable instead of ~25 eager
+    dispatches per pipeline call (each an axon-tunnel round trip)."""
+    R, T_full = obs.shape
+    P = npis.shape[-1]
     H = T_full - T_hist
-    E = len(epsilon_values)
-    obs = jnp.asarray(batch_full.observations, fdtype)
-    npis = jnp.asarray(batch_full.npis, fdtype)
+    obs = jnp.asarray(obs, fdtype)
+    npis = jnp.asarray(npis, fdtype)
 
     params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
-    params["s_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
-    params["i_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
-    params["a"] = jnp.asarray(trained.a2, fdtype)
-    params["b"] = jnp.asarray(trained.b2, fdtype)
+    params["s_min"] = jnp.asarray(cfg.min_cases / population, fdtype)
+    params["i_min"] = jnp.asarray(cfg.min_cases / population, fdtype)
+    params["a"] = jnp.asarray(a2, fdtype)
+    params["b"] = jnp.asarray(b2, fdtype)
     params["w"] = _region_weights(npi_weights, R, P, fdtype)
-    R_v = jnp.asarray(batch_full.obs_noise_var, fdtype)
+    R_v = jnp.asarray(obs_noise_var, fdtype)
 
     # 6-state augmentation (:425-457)
     q_l = cfg.q_lambda
@@ -622,15 +630,46 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     u_in = jnp.concatenate(
         [npis[:, :T_hist, :], jnp.full((R, H, P), jnp.nan, fdtype)], axis=1)
 
-    w_daywise = jnp.broadcast_to(
-        _region_weights(npi_weights, R, P, fdtype)[:, None, :],
-        (R, T_full, P))
+    w_rp = _region_weights(npi_weights, R, P, fdtype)
+    w_daywise = jnp.broadcast_to(w_rp[:, None, :], (R, T_full, P))
+    return (obs, R_v, params, QQ, PPs, ss_init, s_final, Ps_final, u_in,
+            w_daywise, w_rp, jnp.asarray(s_hist, fdtype),
+            init.s_noise_std.astype(fdtype), init.i_noise_std.astype(fdtype))
+
+
+def pareto_prescribe(batch_full, trained: TrainedRegionParams,
+                     init: RegionInit, s_hist, epsilon_values, npi_weights,
+                     npi_mins, npi_maxes, T_hist: int,
+                     cfg: PipelineConfig = PipelineConfig(), key=None,
+                     dtype=None, mesh=None):
+    """The Pareto sweep (TrainPredictPrescribeNPI.m:414-494): for every
+    epsilon, run the 6-state optimal-control EKS with NaN future inputs and
+    costate terminal conditions, re-simulate the prescribed schedule, and
+    score (J0, J1).
+
+    epsilon is a second vmapped axis, processed in chunks of
+    ``cfg.pareto_chunk`` to bound HBM. Returns dict with J0/J1 (E, R),
+    trajectories (E, R, T_full) and prescriptions (E, R, H, P).
+    """
+    fdtype = dtype or jnp.result_type(float)
+    R, T_full = batch_full.observations.shape
+    P = batch_full.npis.shape[-1]
+    E = len(epsilon_values)
+    prep = _pareto_prep_impl(
+        np.asarray(batch_full.observations), np.asarray(batch_full.npis),
+        np.asarray(batch_full.population),
+        np.asarray(batch_full.obs_noise_var), trained.a2, trained.b2,
+        np.asarray(npi_mins, float), np.asarray(npi_maxes, float),
+        np.asarray(npi_weights, float), init, np.asarray(s_hist),
+        cfg=cfg, T_hist=T_hist, fdtype=np.dtype(fdtype))
+    (obs, R_v, params, QQ, PPs, ss_init, s_final, Ps_final, u_in,
+     w_daywise, w_rp, s_hist_f, s_nstd, i_nstd) = prep
 
     def sweep_chunk(eps_chunk, key_chunk):
         return _sweep_chunk_vmap_impl(
             eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
-            s_final, Ps_final, jnp.asarray(s_hist, fdtype),
-            jnp.asarray(w_daywise, fdtype), init, cfg=cfg, T_hist=T_hist)
+            s_final, Ps_final, s_hist_f, w_daywise, init,
+            cfg=cfg, T_hist=T_hist)
 
     def sweep_chunk_lanes(eps_chunk, key_chunk):
         if cfg.backend == "pallas" and (
@@ -639,11 +678,9 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
             raise ValueError(
                 "backend='pallas' supports NEWCASES, order=1, beta_ekf=1 "
                 "only; use backend='lanes'")
-        w_vec = _region_weights(npi_weights, R, P, fdtype)
         return _sweep_chunk_lanes_impl(
             eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
-            s_final, Ps_final, jnp.asarray(s_hist, fdtype), w_vec,
-            init.s_noise_std.astype(fdtype), init.i_noise_std.astype(fdtype),
+            s_final, Ps_final, s_hist_f, w_rp, s_nstd, i_nstd,
             cfg=cfg, T_hist=T_hist, Ec=eps_chunk.shape[0])
 
     eps = np.asarray(epsilon_values, float)

@@ -57,8 +57,13 @@ def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
         sub = df[(df["GeoID"] == gid) & (df["DateNum"] >= d0)]
         tr = sub[sub["DateNum"] <= d1]
         if len(tr) < 2:
-            continue  # insufficient data: skipped with a warning (:103-106)
+            import warnings
+            warnings.warn(f"skipping region {gid!r}: insufficient training "
+                          f"data ({len(tr)} rows)")   # reference :103-106
+            continue
         if gid not in pops_df.index:
+            import warnings
+            warnings.warn(f"skipping region {gid!r}: no population entry")
             continue
         pop = float(np.atleast_1d(pops_df.loc[gid, "Population2020"])[0])
         s = preprocess_region(tr["ConfirmedCases"].to_numpy(float),
