@@ -356,18 +356,40 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
     historic smoothed state trajectory (R, T_hist, 3).
     """
     fdtype = dtype or jnp.result_type(float)
-    R, T_full = batch_full.observations.shape
-    P = batch_full.npis.shape[-1]
+    fixed, zero, full, act, s_hist = _scenarios_prep_impl(
+        np.asarray(batch_full.observations), np.asarray(batch_full.npis),
+        np.asarray(batch_full.population),
+        np.asarray(batch_full.obs_noise_var), trained.a2, trained.b2,
+        np.asarray(npi_mins, float), np.asarray(npi_maxes, float),
+        np.asarray(npi_weights, float), init,
+        None if actual_npis is None else np.asarray(actual_npis),
+        key if cfg.stochastic_forecast else None,
+        cfg=cfg, T_hist=T_hist, fdtype=np.dtype(fdtype))
+    out = {"fixed": fixed, "zero": zero, "max": full}
+    if act is not None:
+        out["actual"] = act
+    return out, s_hist
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "fdtype"))
+def _scenarios_prep_impl(obs, npis, population, obs_noise_var, a2, b2,
+                         npi_mins, npi_maxes, npi_weights, init,
+                         actual_npis, key, *, cfg, T_hist, fdtype):
+    """Jitted scenario-stage prep + run: schedule construction, casts, the
+    EKS and all rollouts as one executable (eager prep dispatches cost ~4ms
+    each through the axon tunnel)."""
+    R, T_full = obs.shape
+    P = npis.shape[-1]
     H = T_full - T_hist
-    obs = jnp.asarray(batch_full.observations, fdtype)
-    npis = jnp.asarray(batch_full.npis, fdtype)
+    obs = jnp.asarray(obs, fdtype)
+    npis = jnp.asarray(npis, fdtype)
 
     params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
-    params["s_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
-    params["i_min"] = jnp.asarray(cfg.min_cases / batch_full.population, fdtype)
-    params["R_v"] = jnp.asarray(batch_full.obs_noise_var, fdtype)
-    params["a"] = jnp.asarray(trained.a2, fdtype)
-    params["b"] = jnp.asarray(trained.b2, fdtype)
+    params["s_min"] = jnp.asarray(cfg.min_cases / population, fdtype)
+    params["i_min"] = jnp.asarray(cfg.min_cases / population, fdtype)
+    params["R_v"] = jnp.asarray(obs_noise_var, fdtype)
+    params["a"] = jnp.asarray(a2, fdtype)
+    params["b"] = jnp.asarray(b2, fdtype)
 
     w_daywise = jnp.broadcast_to(
         _region_weights(npi_weights, R, P, fdtype)[:, None, :],
@@ -391,9 +413,9 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
                           (R, H + 1, P))], axis=1)
     fixed, zero, full, s_hist = _scenarios_impl(
         u_fixed, u_zero, u_max_sched, obs, params, init, w_daywise,
-        key if cfg.stochastic_forecast else None, cfg=cfg, T_hist=T_hist)
+        key, cfg=cfg, T_hist=T_hist)
 
-    out = {"fixed": fixed, "zero": zero, "max": full}
+    act = None
     if actual_npis is not None:
         # Z) actual ground-truth NPIs (:367-370) — estimator validation; uses
         # its own EKS trajectory rather than a rollout.
@@ -405,8 +427,8 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
         u_act = jnp.asarray(actual_npis, fdtype)
         J0, J1 = npi_cost(s * i * al, jnp.swapaxes(u_act, 1, 2),
                           jnp.swapaxes(w_daywise, 1, 2))
-        out["actual"] = ScenarioResult(s, i, al, u_act, J0, J1)
-    return out, s_hist
+        act = ScenarioResult(s, i, al, u_act, J0, J1)
+    return fixed, zero, full, act, s_hist
 
 
 @_functools.partial(jax.jit, static_argnames=("cfg", "T_hist"))
@@ -725,19 +747,32 @@ def monte_carlo_baseline(batch_full, trained: TrainedRegionParams,
     half constant-over-time, half fully random; scored with npi_cost over the
     [historic NPIs, random future] schedule. Returns J0, J1 of shape (N, R)."""
     fdtype = dtype or jnp.result_type(float)
-    R, T_full = batch_full.observations.shape
-    P = batch_full.npis.shape[-1]
-    H = T_full - T_hist
-    N = cfg.num_monte_carlo
-    npis = jnp.asarray(batch_full.npis, fdtype)
-    ip_hist = npis[:, :T_hist, :]
-
-    params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
-    params["a"] = jnp.asarray(trained.a2, fdtype)
-    params["b"] = jnp.asarray(trained.b2, fdtype)
-
     if key is None:
         key = jax.random.PRNGKey(0)
+    J0, J1, u_rand = _monte_carlo_prep_impl(
+        np.asarray(batch_full.npis), trained.a2, trained.b2,
+        np.asarray(npi_mins, float), np.asarray(npi_maxes, float),
+        np.asarray(npi_weights, float), init, np.asarray(s_hist), key,
+        cfg=cfg, T_hist=T_hist, fdtype=np.dtype(fdtype))
+    return {"J0": J0, "J1": J1, "u_random": u_rand}
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "fdtype"))
+def _monte_carlo_prep_impl(npis, a2, b2, npi_mins, npi_maxes, npi_weights,
+                           init, s_hist, key, *, cfg, T_hist, fdtype):
+    """Jitted Monte-Carlo prep + scoring (one executable; see
+    _train_impl for why eager prep dispatches are expensive here)."""
+    R, T_full, P = npis.shape
+    H = T_full - T_hist
+    N = cfg.num_monte_carlo
+    npis = jnp.asarray(npis, fdtype)
+    ip_hist = npis[:, :T_hist, :]
+    s_hist = jnp.asarray(s_hist, fdtype)
+
+    params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
+    params["a"] = jnp.asarray(a2, fdtype)
+    params["b"] = jnp.asarray(b2, fdtype)
+
     k_draw, k_noise = jax.random.split(key)
     u_rand = random_npi_schedules(k_draw, N, npi_mins, npi_maxes, H)  # (N,H,P)
     u_rand = u_rand.astype(fdtype)
@@ -749,7 +784,7 @@ def monte_carlo_baseline(batch_full, trained: TrainedRegionParams,
     keys = jax.random.split(k_noise, N)
     J0, J1 = _monte_carlo_impl(u_rand, keys, ip_hist, s_hist, params,
                                init, w_daywise, cfg=cfg)
-    return {"J0": J0, "J1": J1, "u_random": u_rand}
+    return J0, J1, u_rand
 
 
 @_functools.partial(jax.jit, static_argnames=("cfg",))
