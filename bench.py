@@ -23,7 +23,17 @@ def log(msg):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: cold runs after the first process are
+    # compile-free (the cache key includes the backend, so TPU and CPU
+    # entries coexist)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     R_REGIONS = int(float(sys.argv[1])) if len(sys.argv) > 1 else 235
     E_PARETO = int(float(sys.argv[2])) if len(sys.argv) > 2 else 250
