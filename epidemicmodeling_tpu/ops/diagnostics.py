@@ -16,6 +16,7 @@ import numpy as np
 
 
 class FilterHealth(NamedTuple):
+    """Per-region filter-health report (NaN/explosion/whiteness checks)."""
     nan_states: np.ndarray        # (R,) bool: any non-finite state estimate
     rho_mean: np.ndarray          # (R,) innovation-whiteness mean (tail)
     rho_consistent: np.ndarray    # (R,) bool: rho in [lo, hi] (filter tuned)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 
 class PKFResult(NamedTuple):
+    """Associative-scan Kalman filter + RTS smoother outputs."""
     means_filt: jnp.ndarray    # (T, m) filtered means (posterior)
     covs_filt: jnp.ndarray     # (T, m, m)
     means_smooth: jnp.ndarray  # (T, m)

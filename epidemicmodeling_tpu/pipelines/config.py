@@ -12,6 +12,10 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
+    """Every knob of the train-predict-prescribe pipeline, hashable so it
+    can be a jit static argument. Defaults reproduce the reference driver
+    (testScripts/testPrescribeXPRIZE02.m + TrainPredictPrescribeNPI.m)."""
+
     # data cleaning (TrainPredictPrescribeNPI.m:13-15)
     smoothing_win: int = 7
     min_cases: float = 1.0
@@ -59,24 +63,28 @@ class PipelineConfig:
                                             # "solve" (TPU fast path; avoids
                                             # per-step batched SVD)
     backend: str = "vmap"                   # "vmap" (generic core) | "lanes"
-                                            # (batch-last TPU fast path for
-                                            # the Pareto sweep; see
-                                            # ops/ekf_bl.py)
+                                            # (batch-last XLA fast path) |
+                                            # "pallas" (fused kernels;
+                                            # NEWCASES, order=1, beta_ekf=1
+                                            # only; see ops/pallas/)
     scan_unroll: int = 1                    # lax.scan unroll for the lanes
                                             # core (amortizes per-step
                                             # dispatch overhead)
 
     @property
     def gamma_model(self) -> float:
+        """Contact-rate relaxation rate (TrainPredictPrescribeNPI.m:212)."""
         return 1.0 / (self.dt * self.model_gamma_param)
 
     @property
     def beta_model(self) -> float:
+        """Recovery rate from the contagion-probability horizon (:216-218)."""
         import math
         Tdays = self.num_days_for_beta_calculation * self.dt
         return -math.log(self.prob_contagion_after_Tdays) / Tdays
 
     @property
     def alpha0(self) -> float:
+        """Initial contact rate from R0 (:219-221)."""
         import math
         return self.beta_model + math.log(self.R0) / self.dt

@@ -50,6 +50,7 @@ def new_case_ekf_optimal_npi(u, x, params, s_init, Ps_init, s_final=None,
 
 
 class ARPrescriptionResult(NamedTuple):
+    """AR-forecast prescription outputs (PrescribeNPI.m:202-256)."""
     alpha_forecast: jnp.ndarray     # (H,) AR-forecast alpha (zero-noise)
     J0_random: jnp.ndarray          # (N_mc,) random-scenario human costs
     J1_random: jnp.ndarray          # (N_mc,)

@@ -6,6 +6,12 @@ import numpy as np
 
 
 def main():
+    # scalar sequential ODE rollouts + eigenanalysis: no batch axis, so the
+    # TPU gains nothing and per-scenario XLA compiles dominate (~2 min each
+    # through the axon remote-compile tunnel). Run on CPU in float64.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     from epidemicmodeling_tpu.analysis import (
         SEIRP_SCENARIOS, run_seirp_scenario, seirp_early_phase_matrix,
         seirp_early_eigen, obsv)
