@@ -111,6 +111,7 @@ def train_predict_prescribe(
     cfg: PipelineConfig = PipelineConfig(),
     key=None,
     dtype=None,
+    trained=None,
 ) -> TrainPredictPrescribeResult:
     """Drop-in equivalent of Tools/TrainPredictPrescribeNPI.m:1 with the same
     argument intent (dates, files, NPI config, epsilon sweep, weights)."""
@@ -140,7 +141,8 @@ def train_predict_prescribe(
 
     result = run_pipeline(batch_train, batch_full, actual_npis, T_hist,
                           npi_weights, epsilon_values, npi_mins, npi_maxes,
-                          num_regression_days, cfg, key, dtype)
+                          num_regression_days, cfg, key, dtype,
+                          trained=trained)
     if trained_params_file:
         from .checkpoint import save_trained_params
         save_trained_params(trained_params_file, result.trained)
@@ -150,10 +152,31 @@ def train_predict_prescribe(
 def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
                  epsilon_values, npi_mins, npi_maxes, num_regression_days,
                  cfg: PipelineConfig = PipelineConfig(), key=None,
-                 dtype=None) -> TrainPredictPrescribeResult:
-    """Run the batched compute pipeline on prepared RegionBatches."""
-    train_out = train_regions(batch_train, npi_mins, npi_maxes,
-                              num_regression_days, cfg, dtype)
+                 dtype=None, trained=None) -> TrainPredictPrescribeResult:
+    """Run the batched compute pipeline on prepared RegionBatches.
+
+    trained: optional pre-trained TrainedRegionParams (the
+    testScripts/testPrescribeXPRIZE01.m flow: prescribe from a saved
+    checkpoint without retraining). Rows are re-aligned to the batch's
+    region order by name; regions absent from the checkpoint raise."""
+    if trained is None:
+        train_out = train_regions(batch_train, npi_mins, npi_maxes,
+                                  num_regression_days, cfg, dtype)
+    else:
+        from .core import region_init, TrainOutputs, TrainedRegionParams
+        idx = {n: i for i, n in enumerate(trained.names)}
+        missing = [n for n in batch_train.names if n not in idx]
+        if missing:
+            raise ValueError(
+                f"checkpoint is missing trained parameters for {missing}")
+        order = np.asarray([idx[n] for n in batch_train.names])
+        trained = TrainedRegionParams(
+            names=tuple(batch_train.names),
+            population=np.asarray(trained.population)[order],
+            a1=np.asarray(trained.a1)[order], b1=np.asarray(trained.b1)[order],
+            a2=np.asarray(trained.a2)[order], b2=np.asarray(trained.b2)[order])
+        train_out = TrainOutputs(trained, region_init(batch_train, cfg),
+                                 None, None, None, None)
     scen, s_hist = forecast_scenarios(
         batch_full, train_out.trained, train_out.init, npi_weights,
         npi_mins, npi_maxes, T_hist, cfg,

@@ -54,6 +54,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="optional predictions CSV (fixed-NPI scenario)")
     ap.add_argument("--trained-params-out", default=None,
                     help="optional .npz checkpoint of trained coefficients")
+    ap.add_argument("--load-params", default=None,
+                    help=".npz checkpoint to prescribe from WITHOUT "
+                         "retraining (testPrescribeXPRIZE01.m flow)")
     ap.add_argument("--summary-out", default=None,
                     help="optional JSON summary (costs, front sizes)")
     ap.add_argument("--backend", default="pallas",
@@ -92,6 +95,13 @@ def main(argv=None) -> int:
         backend = "lanes"
     cfg = PipelineConfig(backend=backend, pareto_chunk=args.pareto_chunk)
 
+    trained = None
+    if args.load_params:
+        from .checkpoint import load_trained_params
+        trained = load_trained_params(args.load_params)
+        print(f"loaded trained parameters for {len(trained.names)} geos "
+              f"from {args.load_params}")
+
     eps = np.asarray(epsilon_grid(args.num_epsilon))
     res = train_predict_prescribe(
         npi_weights=npi_weights,
@@ -109,6 +119,7 @@ def main(argv=None) -> int:
         cfg=cfg,
         key=jax.random.PRNGKey(args.seed),
         dtype=jnp.float64 if args.float64 else None,
+        trained=trained,
     )
 
     names = list(res.trained.names)

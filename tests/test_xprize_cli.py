@@ -179,3 +179,73 @@ def test_per_region_weights_shift_prescriptions(cli_files):
     burden_p = u_p[:, 1].sum(axis=(1, 2))
     assert (burden_p <= burden_b).all()
     assert (burden_p < burden_b).any()
+
+
+def test_cli_prescribe_from_checkpoint(cli_files):
+    """--load-params must skip retraining and reproduce the trained run's
+    prescriptions exactly (testPrescribeXPRIZE01.m: prescribe from .mat)."""
+    import pandas as pd
+    from epidemicmodeling_tpu.pipelines.xprize_cli import main
+    tmp, _ = cli_files
+    base = [
+        "--data", str(tmp / "oxford.csv"),
+        "--geos", str(tmp / "geos.csv"),
+        "--populations", str(tmp / "populations.csv"),
+        "--start-train", "2020-03-01", "--end-train", "2020-07-09",
+        "--end-predict", "2020-08-08",
+        "--num-epsilon", "4", "--num-prescriptions", "2",
+        "--backend", "lanes", "--pareto-chunk", "4",
+    ]
+    assert main(base + ["--prescriptions-out", str(tmp / "p_train.csv"),
+                        "--trained-params-out", str(tmp / "ck.npz")]) == 0
+    assert main(base + ["--prescriptions-out", str(tmp / "p_ckpt.csv"),
+                        "--load-params", str(tmp / "ck.npz")]) == 0
+    a = pd.read_csv(tmp / "p_train.csv")
+    b = pd.read_csv(tmp / "p_ckpt.csv")
+    assert a.equals(b)
+
+
+def test_run_pipeline_trained_reorders_and_validates(cli_files):
+    """run_pipeline(trained=...) must re-align checkpoint rows to the
+    batch's region order and reject checkpoints missing a region."""
+    import pytest as _pytest
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import TrainedRegionParams
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import (
+        build_batches_from_frames, run_pipeline)
+    from epidemicmodeling_tpu.data.oxford import (load_oxford_data,
+                                                  load_populations,
+                                                  load_geo_list)
+
+    tmp, _ = cli_files
+    df = load_oxford_data(tmp / "oxford.csv", None, "2020-03-01",
+                          "2020-08-08")
+    pops = load_populations(tmp / "populations.csv")
+    geo_ids = load_geo_list(tmp / "geos.csv")
+    bt, bf, act, T_hist, _ = build_batches_from_frames(
+        df, pops, geo_ids, "2020-03-01", "2020-07-09", "2020-08-08")
+
+    cfg = PipelineConfig(backend="lanes", pareto_chunk=4)
+    kw = dict(npi_weights=np.ones(12), epsilon_values=np.array([0.1, 0.5]),
+              npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
+              num_regression_days=T_hist, cfg=cfg)
+
+    res = run_pipeline(bt, bf, act, T_hist, **kw)
+    t = res.trained
+    # reversed row order must give identical results after re-alignment
+    rev = TrainedRegionParams(
+        names=tuple(reversed(t.names)),
+        population=np.asarray(t.population)[::-1],
+        a1=np.asarray(t.a1)[::-1], b1=np.asarray(t.b1)[::-1],
+        a2=np.asarray(t.a2)[::-1], b2=np.asarray(t.b2)[::-1])
+    res2 = run_pipeline(bt, bf, act, T_hist, trained=rev, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(res.pareto["u_prescribed"]),
+        np.asarray(res2.pareto["u_prescribed"]))
+
+    short = TrainedRegionParams(
+        names=t.names[:-1], population=np.asarray(t.population)[:-1],
+        a1=np.asarray(t.a1)[:-1], b1=np.asarray(t.b1)[:-1],
+        a2=np.asarray(t.a2)[:-1], b2=np.asarray(t.b2)[:-1])
+    with _pytest.raises(ValueError, match="missing trained parameters"):
+        run_pipeline(bt, bf, act, T_hist, trained=short, **kw)
