@@ -10,6 +10,8 @@ from .preprocess import (
 from .oxford import (load_oxford_data, load_populations, load_geo_list,
                      load_npi_costs)
 from .synthetic import synthetic_oxford_frame
+from .xprize_io import (write_predictions_csv, write_prescriptions_csv,
+                        read_future_ip)
 
 __all__ = [
     "OXFORD_NPI_COLUMNS", "NPI_MAXES_DEFAULT",
@@ -18,4 +20,5 @@ __all__ = [
     "load_oxford_data", "load_populations", "load_geo_list",
     "load_npi_costs",
     "synthetic_oxford_frame",
+    "write_predictions_csv", "write_prescriptions_csv", "read_future_ip",
 ]

@@ -5,6 +5,7 @@ from .core import (
     forecast_scenarios,
     pareto_prescribe,
     monte_carlo_baseline,
+    scenario_from_schedule,
 )
 from .train_predict_prescribe import train_predict_prescribe
 from .checkpoint import (save_trained_params, load_trained_params,
@@ -17,6 +18,7 @@ __all__ = [
     "forecast_scenarios",
     "pareto_prescribe",
     "monte_carlo_baseline",
+    "scenario_from_schedule",
     "train_predict_prescribe",
     "save_trained_params",
     "load_trained_params",

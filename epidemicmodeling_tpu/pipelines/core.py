@@ -744,6 +744,53 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     }
 
 
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "fdtype"))
+def _schedule_scenario_impl(npis, u_future, a2, b2, npi_mins, npi_maxes,
+                            npi_weights, init, s_hist, key, *, cfg, T_hist,
+                            fdtype):
+    """Jitted custom-schedule scenario: rollout + costs as one executable."""
+    R, T_full, P = npis.shape
+    npis = jnp.asarray(npis, fdtype)
+    u_future = jnp.asarray(u_future, fdtype)
+    s_hist = jnp.asarray(s_hist, fdtype)
+
+    params = _base_params(cfg, npi_mins, npi_maxes, R, fdtype)
+    params["a"] = jnp.asarray(a2, fdtype)
+    params["b"] = jnp.asarray(b2, fdtype)
+
+    traj = _rollout_from(cfg, init, params, s_hist[:, -1, :], u_future, key)
+    sv = jnp.concatenate([s_hist[..., 0], traj[..., 0]], axis=1)
+    iv = jnp.concatenate([s_hist[..., 1], traj[..., 1]], axis=1)
+    al = jnp.concatenate([s_hist[..., 2], traj[..., 2]], axis=1)
+    u_full = jnp.concatenate([npis[:, :T_hist, :], u_future], axis=1)
+    w_daywise = jnp.broadcast_to(
+        _region_weights(npi_weights, R, P, fdtype)[:, None, :],
+        (R, T_full, P))
+    J0, J1 = npi_cost(sv * iv * al, jnp.swapaxes(u_full, 1, 2),
+                      jnp.swapaxes(w_daywise, 1, 2))
+    return ScenarioResult(sv, iv, al, u_full, J0, J1)
+
+
+def scenario_from_schedule(batch_full, trained: TrainedRegionParams,
+                           init: RegionInit, s_hist, u_future, npi_weights,
+                           npi_mins, npi_maxes, T_hist: int,
+                           cfg: PipelineConfig = PipelineConfig(), key=None,
+                           dtype=None) -> ScenarioResult:
+    """Forecast under an externally supplied NPI plan (the XPRIZE
+    `future_ip.csv` semantics: predict new cases conditioned on a given
+    future intervention schedule; see data.read_future_ip).
+
+    u_future: (R, H, P) plan over the forecast horizon."""
+    fdtype = dtype or jnp.result_type(float)
+    fd = np.dtype(fdtype)
+    return _schedule_scenario_impl(
+        np.asarray(batch_full.npis, fd), np.asarray(u_future, fd),
+        trained.a2, trained.b2, np.asarray(npi_mins, fd),
+        np.asarray(npi_maxes, fd), np.asarray(npi_weights, fd), init,
+        s_hist, key if cfg.stochastic_forecast else None,
+        cfg=cfg, T_hist=T_hist, fdtype=fd)
+
+
 def monte_carlo_baseline(batch_full, trained: TrainedRegionParams,
                          init: RegionInit, s_hist, npi_weights, npi_mins,
                          npi_maxes, T_hist: int,

@@ -57,6 +57,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--load-params", default=None,
                     help=".npz checkpoint to prescribe from WITHOUT "
                          "retraining (testPrescribeXPRIZE01.m flow)")
+    ap.add_argument("--future-ip", default=None,
+                    help="future intervention plan CSV (future_ip.csv "
+                         "schema); predictions are conditioned on it "
+                         "instead of the frozen-last-NPI scenario")
     ap.add_argument("--summary-out", default=None,
                     help="optional JSON summary (costs, front sizes)")
     ap.add_argument("--backend", default="pallas",
@@ -137,11 +141,25 @@ def main(argv=None) -> int:
     if args.predictions_out:
         pop = np.asarray(res.trained.population)[:, None]
         sc = res.scenarios["fixed"]
+        T_hist = np.asarray(sc.s).shape[1] - u.shape[2]
+        if args.future_ip:
+            from ..data import read_future_ip
+            from .core import region_init, scenario_from_schedule
+            from ..utils.dates import date_range_days
+            H = u.shape[2]
+            u_plan = read_future_ip(args.future_ip, names, presc_start,
+                                    date_range_days(presc_start, H)[-1])
+            u_plan = np.minimum(u_plan, np.asarray(NPI_MAXES_DEFAULT))
+            init = region_init(res.batch_train, cfg)
+            sc = scenario_from_schedule(
+                res.batch_full, res.trained, init, res.s_hist, u_plan,
+                npi_weights, np.zeros(P), NPI_MAXES_DEFAULT, T_hist, cfg)
         cases = np.asarray(sc.s * sc.i * sc.alpha) * pop  # (R, T_full)
-        T_hist = cases.shape[1] - u.shape[2]
         write_predictions_csv(args.predictions_out, names, presc_start,
                               cases[:, T_hist:])
-        print(f"wrote {args.predictions_out}")
+        print(f"wrote {args.predictions_out}"
+              + (" (conditioned on future-IP plan)" if args.future_ip
+                 else ""))
 
     if args.summary_out:
         summary = {

@@ -249,3 +249,59 @@ def test_run_pipeline_trained_reorders_and_validates(cli_files):
         a2=np.asarray(t.a2)[:-1], b2=np.asarray(t.b2)[:-1])
     with _pytest.raises(ValueError, match="missing trained parameters"):
         run_pipeline(bt, bf, act, T_hist, trained=short, **kw)
+
+
+def test_read_future_ip_real_reference_file():
+    """Parse the real XPRIZE future_ip.csv (read-only reference data)."""
+    import os
+    path = "/root/reference/xprize-sample-data/future_ip.csv"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not mounted")
+    from epidemicmodeling_tpu.data import read_future_ip
+    u = read_future_ip(path, ["India ", "Atlantis "],
+                       "2020-08-01", "2020-08-10")
+    assert u.shape == (2, 10, 12)
+    assert u[0].max() > 0          # India has plan entries
+    assert not u[1].any()          # unknown geo -> all-zero plan
+    assert (u >= 0).all() and (u <= NPI_MAXES_DEFAULT[None, None, :]).all()
+
+
+def test_scenario_from_schedule_monotone_in_npis(cli_files):
+    """Forecast conditioned on a stricter plan must produce fewer future
+    cases (predict-under-plan semantics of future_ip.csv)."""
+    import jax.numpy as jnp
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import (
+        train_regions, forecast_scenarios, scenario_from_schedule)
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        build_batches_from_frames
+    from epidemicmodeling_tpu.data.oxford import (load_oxford_data,
+                                                  load_populations,
+                                                  load_geo_list)
+
+    tmp, _ = cli_files
+    df = load_oxford_data(tmp / "oxford.csv", None, "2020-03-01",
+                          "2020-08-08")
+    pops = load_populations(tmp / "populations.csv")
+    geo_ids = load_geo_list(tmp / "geos.csv")
+    bt, bf, _, T_hist, _ = build_batches_from_frames(
+        df, pops, geo_ids, "2020-03-01", "2020-07-09", "2020-08-08")
+
+    P, R, H = 12, 3, bf.observations.shape[1] - T_hist
+    cfg = PipelineConfig(backend="lanes", pareto_chunk=4)
+    to = train_regions(bt, np.zeros(P), NPI_MAXES_DEFAULT, T_hist, cfg,
+                       dtype=jnp.float32)
+    _, s_hist = forecast_scenarios(bf, to.trained, to.init, np.ones(P),
+                                   np.zeros(P), NPI_MAXES_DEFAULT, T_hist,
+                                   cfg, dtype=jnp.float32)
+    cases = {}
+    for tag, level in [("none", 0.0), ("max", None)]:
+        u_plan = (np.zeros((R, H, P)) if level == 0.0
+                  else np.tile(NPI_MAXES_DEFAULT[None, None, :], (R, H, 1)))
+        sc = scenario_from_schedule(bf, to.trained, to.init, s_hist, u_plan,
+                                    np.ones(P), np.zeros(P),
+                                    NPI_MAXES_DEFAULT, T_hist, cfg,
+                                    dtype=jnp.float32)
+        cases[tag] = np.asarray(sc.s * sc.i * sc.alpha)[:, T_hist:].sum(1)
+    assert (cases["max"] <= cases["none"]).all()
+    assert (cases["max"] < cases["none"]).any()
