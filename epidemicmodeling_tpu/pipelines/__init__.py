@@ -9,7 +9,8 @@ from .core import (
 )
 from .train_predict_prescribe import train_predict_prescribe
 from .checkpoint import (save_trained_params, load_trained_params,
-                         save_trained_params_orbax, load_trained_params_orbax)
+                         save_trained_params_orbax, load_trained_params_orbax,
+                         load_trained_params_mat)
 
 __all__ = [
     "PipelineConfig",
@@ -24,4 +25,5 @@ __all__ = [
     "load_trained_params",
     "save_trained_params_orbax",
     "load_trained_params_orbax",
+    "load_trained_params_mat",
 ]

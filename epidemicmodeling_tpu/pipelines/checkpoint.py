@@ -74,3 +74,41 @@ def load_trained_params_orbax(directory) -> TrainedRegionParams:
     return TrainedRegionParams(names=names, population=tree["population"],
                                a1=tree["a1"], b1=tree["b1"],
                                a2=tree["a2"], b2=tree["b2"])
+
+def load_trained_params_mat(path) -> TrainedRegionParams:
+    """Import the reference's own trained-parameter checkpoint: a MATLAB
+    cell table {CountryName, RegionName, N_population, coef0, coef,
+    coef0_2, coef_2} with a header row
+    (Tools/TrainPredictPrescribeNPI.m:91,910-913, saved as
+    TrainedModelParams and loaded by testScripts/testPrescribeXPRIZE01.m:62).
+    Lets the pipeline prescribe directly from artifacts trained by the
+    MATLAB reference."""
+    import scipy.io as sio
+
+    tbl = sio.loadmat(str(path))["TrainedModelParams"]
+    names, pop, b1, a1, b2, a2 = [], [], [], [], [], []
+
+    def scalar(cell):
+        v = np.squeeze(cell)
+        return float(v) if v.size else 0.0
+
+    def vec12(cell):
+        v = np.asarray(cell, float).ravel()
+        out = np.zeros(12)
+        out[:min(12, v.size)] = v[:12]
+        return out
+
+    for r in range(1, tbl.shape[0]):   # row 0 is the header
+        row = tbl[r]
+        country = str(np.squeeze(row[0])) if np.squeeze(row[0]).size else ""
+        region = str(np.squeeze(row[1])) if np.squeeze(row[1]).size else ""
+        names.append(f"{country} {region}")
+        pop.append(scalar(row[2]))
+        b1.append(scalar(row[3]))
+        a1.append(vec12(row[4]))
+        b2.append(scalar(row[5]))
+        a2.append(vec12(row[6]))
+    return TrainedRegionParams(
+        names=tuple(names), population=np.asarray(pop),
+        a1=np.asarray(a1), b1=np.asarray(b1),
+        a2=np.asarray(a2), b2=np.asarray(b2))

@@ -101,8 +101,12 @@ def main(argv=None) -> int:
 
     trained = None
     if args.load_params:
-        from .checkpoint import load_trained_params
-        trained = load_trained_params(args.load_params)
+        if str(args.load_params).endswith(".mat"):
+            from .checkpoint import load_trained_params_mat
+            trained = load_trained_params_mat(args.load_params)
+        else:
+            from .checkpoint import load_trained_params
+            trained = load_trained_params(args.load_params)
         print(f"loaded trained parameters for {len(trained.names)} geos "
               f"from {args.load_params}")
 

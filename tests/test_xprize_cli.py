@@ -305,3 +305,21 @@ def test_scenario_from_schedule_monotone_in_npis(cli_files):
         cases[tag] = np.asarray(sc.s * sc.i * sc.alpha)[:, T_hist:].sum(1)
     assert (cases["max"] <= cases["none"]).all()
     assert (cases["max"] < cases["none"]).any()
+
+
+def test_load_trained_params_mat_real_reference_checkpoint():
+    """Import the reference's own MATLAB-trained checkpoint (read-only)."""
+    import os
+    path = ("/root/reference/xprize-sample-data/"
+            "prescription_trained_params_nonnegls.mat")
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not mounted")
+    from epidemicmodeling_tpu.pipelines import load_trained_params_mat
+    t = load_trained_params_mat(path)
+    assert len(t.names) == 235
+    assert t.a2.shape == (235, 12) and t.a1.shape == (235, 12)
+    assert (t.population > 0).all()
+    # NNLS-trained coefficients are non-negative
+    assert (t.a2 >= 0).all()
+    assert np.isfinite(t.a2).all() and np.isfinite(t.b2).all()
+    assert "Afghanistan " in t.names
