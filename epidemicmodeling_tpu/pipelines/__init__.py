@@ -10,7 +10,8 @@ from .core import (
 from .train_predict_prescribe import train_predict_prescribe
 from .checkpoint import (save_trained_params, load_trained_params,
                          save_trained_params_orbax, load_trained_params_orbax,
-                         load_trained_params_mat)
+                         load_trained_params_mat,
+                         save_trained_params_mat)
 
 __all__ = [
     "PipelineConfig",
@@ -26,4 +27,5 @@ __all__ = [
     "save_trained_params_orbax",
     "load_trained_params_orbax",
     "load_trained_params_mat",
+    "save_trained_params_mat",
 ]

@@ -112,3 +112,30 @@ def load_trained_params_mat(path) -> TrainedRegionParams:
         names=tuple(names), population=np.asarray(pop),
         a1=np.asarray(a1), b1=np.asarray(b1),
         a2=np.asarray(a2), b2=np.asarray(b2))
+
+def save_trained_params_mat(path, trained: TrainedRegionParams) -> str:
+    """Export to the reference's .mat schema (the TrainedModelParams cell
+    table of TrainPredictPrescribeNPI.m:910-913) so MATLAB-side tooling —
+    e.g. testScripts/testPrescribeXPRIZE01.m — can consume parameters
+    trained here. Inverse of load_trained_params_mat."""
+    import scipy.io as sio
+
+    path = str(path)
+    if not path.endswith(".mat"):
+        path = path + ".mat"
+    R = len(trained.names)
+    tbl = np.empty((R + 1, 7), dtype=object)
+    tbl[0] = ["CountryName", "RegionName", "N_population",
+              "coef0", "coef", "coef0_2", "coef_2"]
+    from ..data.xprize_io import _split_geo
+    for r, name in enumerate(trained.names):
+        country, region = _split_geo(name)
+        tbl[r + 1, 0] = country
+        tbl[r + 1, 1] = region
+        tbl[r + 1, 2] = float(np.asarray(trained.population)[r])
+        tbl[r + 1, 3] = float(np.asarray(trained.b1)[r])
+        tbl[r + 1, 4] = np.asarray(trained.a1)[r].reshape(-1, 1)
+        tbl[r + 1, 5] = float(np.asarray(trained.b2)[r])
+        tbl[r + 1, 6] = np.asarray(trained.a2)[r].reshape(-1, 1)
+    sio.savemat(path, {"TrainedModelParams": tbl})
+    return path

@@ -323,3 +323,24 @@ def test_load_trained_params_mat_real_reference_checkpoint():
     assert (t.a2 >= 0).all()
     assert np.isfinite(t.a2).all() and np.isfinite(t.b2).all()
     assert "Afghanistan " in t.names
+
+
+def test_mat_checkpoint_roundtrip(tmp_path):
+    """save_trained_params_mat -> load_trained_params_mat is lossless, and
+    the real reference checkpoint survives a round trip."""
+    import os
+    from epidemicmodeling_tpu.pipelines import (load_trained_params_mat,
+                                                save_trained_params_mat)
+    path = ("/root/reference/xprize-sample-data/"
+            "prescription_trained_params_nonnegls.mat")
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not mounted")
+    t = load_trained_params_mat(path)
+    out = save_trained_params_mat(tmp_path / "rt.mat", t)
+    t2 = load_trained_params_mat(out)
+    assert t2.names == t.names
+    np.testing.assert_allclose(t2.population, t.population)
+    np.testing.assert_allclose(t2.a1, t.a1)
+    np.testing.assert_allclose(t2.b1, t.b1)
+    np.testing.assert_allclose(t2.a2, t.a2)
+    np.testing.assert_allclose(t2.b2, t.b2)
