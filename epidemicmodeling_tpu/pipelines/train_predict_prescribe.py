@@ -144,8 +144,12 @@ def train_predict_prescribe(
                           num_regression_days, cfg, key, dtype,
                           trained=trained)
     if trained_params_file:
-        from .checkpoint import save_trained_params
-        save_trained_params(trained_params_file, result.trained)
+        if str(trained_params_file).endswith(".mat"):
+            from .checkpoint import save_trained_params_mat
+            save_trained_params_mat(trained_params_file, result.trained)
+        else:
+            from .checkpoint import save_trained_params
+            save_trained_params(trained_params_file, result.trained)
     return result
 
 
