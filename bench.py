@@ -65,7 +65,11 @@ def main():
     log(f"data built in {time.time()-t0:.1f}s")
 
     cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=25,
-                         smoother_gain="solve", backend="pallas")
+                         smoother_gain="solve", backend="pallas",
+                         # beyond ~2000 eps the (E, R, T) trajectory outputs
+                         # alone exhaust HBM; keep costs + prescriptions
+                         pareto_store_trajectories=(E_PARETO * R_REGIONS
+                                                    <= 500_000))
     eps = np.asarray(epsilon_grid(E_PARETO))
     dtype = None  # f32 on TPU, f64 under x64
 
@@ -126,7 +130,9 @@ def main():
         log(f"pallas backend failed ({type(e).__name__}: {e}); "
             "falling back to lanes backend")
         cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=25,
-                             smoother_gain="solve", backend="lanes")
+                             smoother_gain="solve", backend="lanes",
+                             pareto_store_trajectories=(E_PARETO * R_REGIONS
+                                                        <= 500_000))
         t1 = time.time()
         front = run_once(cfg)
     cold = time.time() - t1

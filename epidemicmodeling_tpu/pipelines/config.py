@@ -58,6 +58,11 @@ class PipelineConfig:
 
     # execution
     pareto_chunk: int = 32                  # epsilon values per device batch
+    pareto_store_trajectories: bool = True  # False drops the (E, R, T) s/i/
+                                            # alpha outputs (costs and
+                                            # prescriptions only) — needed
+                                            # for very large epsilon sweeps
+                                            # that would exhaust HBM
     stochastic_forecast: bool = False       # inject rollout process noise
     smoother_gain: str = "pinv"             # "pinv" (MATLAB parity) |
                                             # "solve" (TPU fast path; avoids

@@ -663,6 +663,15 @@ def _pareto_prep_impl(obs, npis, population, obs_noise_var, a2, b2,
             init.s_noise_std.astype(fdtype), init.i_noise_std.astype(fdtype))
 
 
+@_functools.partial(jax.jit, donate_argnums=0)
+def _write_chunk_impl(buf, chunk, start):
+    """In-place (donated) write of one epsilon-chunk into the preallocated
+    prescription buffer — avoids both the device-side concatenate doubling
+    and per-chunk host transfers at very large E."""
+    zeros = (jnp.zeros((), start.dtype),) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, chunk, (start,) + zeros)
+
+
 def pareto_prescribe(batch_full, trained: TrainedRegionParams,
                      init: RegionInit, s_hist, epsilon_values, npi_weights,
                      npi_mins, npi_maxes, T_hist: int,
@@ -720,6 +729,7 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     else:
         keys = jax.random.split(key, E_pad)
     outs = []
+    u_buf = None
     for c0 in range(0, E_pad, chunk):
         eps_chunk = jnp.asarray(eps_padded[c0:c0 + chunk], fdtype)
         key_chunk = keys[c0:c0 + chunk]
@@ -733,13 +743,26 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
             key_chunk = jax.device_put(
                 key_chunk, NamedSharding(mesh, _PS("ep", None)))
         if cfg.backend in ("lanes", "pallas"):
-            outs.append(sweep_chunk_lanes(eps_chunk, key_chunk))
+            o = sweep_chunk_lanes(eps_chunk, key_chunk)
         else:
-            outs.append(sweep_chunk(eps_chunk, key_chunk))
-    cat = lambda idx: jnp.concatenate([o[idx] for o in outs], axis=0)[:E]
+            o = sweep_chunk(eps_chunk, key_chunk)
+        if not cfg.pareto_store_trajectories:
+            # keep only costs + prescriptions; prescriptions go into ONE
+            # preallocated (donated, in-place) device buffer — the retained
+            # per-chunk buffers plus a final concatenate would exhaust HBM
+            # at very large E
+            if u_buf is None:
+                H_, P_ = o[5].shape[2], o[5].shape[3]
+                u_buf = jnp.zeros((E_pad, R, H_, P_), o[5].dtype)
+            u_buf = _write_chunk_impl(u_buf, o[5], jnp.int32(c0))
+            o = (o[0], o[1], None, None, None, None)
+        outs.append(o)
+    cat = lambda idx: (None if outs[0][idx] is None else
+                       jnp.concatenate([o[idx] for o in outs], axis=0)[:E])
     return {
         "J0": cat(0), "J1": cat(1), "s": cat(2), "i": cat(3),
-        "alpha": cat(4), "u_prescribed": cat(5),
+        "alpha": cat(4),
+        "u_prescribed": (u_buf[:E] if u_buf is not None else cat(5)),
         "epsilon": jnp.asarray(eps, fdtype),
     }
 

@@ -219,3 +219,42 @@ def test_orbax_checkpoint_roundtrip(tmp_path, pipeline_result):
     assert loaded.names == res.trained.names
     np.testing.assert_allclose(np.asarray(loaded.a2),
                                np.asarray(res.trained.a2))
+
+
+def test_pareto_store_trajectories_knob(synth_files):
+    """pareto_store_trajectories=False must return identical costs and
+    prescriptions (trajectories None) via the donated-buffer path."""
+    import jax.numpy as jnp
+    from epidemicmodeling_tpu.pipelines.core import (
+        train_regions, forecast_scenarios, pareto_prescribe)
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        build_batches_from_frames
+    from epidemicmodeling_tpu.data.oxford import (load_oxford_data,
+                                                  load_populations,
+                                                  load_geo_list)
+
+    df = load_oxford_data(synth_files["data"], None, "2020-03-01",
+                          "2020-09-16")
+    pops = load_populations(synth_files["pops"])
+    geo_ids = load_geo_list(synth_files["geos"])
+    bt, bf, _, T_hist, _ = build_batches_from_frames(
+        df, pops, geo_ids, "2020-03-01", "2020-08-17", "2020-09-16")
+    eps = np.asarray(epsilon_grid(6))
+    out = {}
+    for store in (True, False):
+        cfg = PipelineConfig(backend="lanes", pareto_chunk=2,
+                             pareto_store_trajectories=store)
+        to = train_regions(bt, np.zeros(12), NPI_MAXES_DEFAULT, T_hist, cfg,
+                           dtype=jnp.float32)
+        _, s_hist = forecast_scenarios(bf, to.trained, to.init, np.ones(12),
+                                       np.zeros(12), NPI_MAXES_DEFAULT,
+                                       T_hist, cfg, dtype=jnp.float32)
+        out[store] = pareto_prescribe(bf, to.trained, to.init, s_hist, eps,
+                                      np.ones(12), np.zeros(12),
+                                      NPI_MAXES_DEFAULT, T_hist, cfg,
+                                      dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out[True]["J0"]),
+                                  np.asarray(out[False]["J0"]))
+    np.testing.assert_array_equal(np.asarray(out[True]["u_prescribed"]),
+                                  np.asarray(out[False]["u_prescribed"]))
+    assert out[False]["s"] is None and out[True]["s"] is not None

@@ -64,3 +64,39 @@ def test_two_day_series():
 def test_sub_two_day_series_flagged_invalid():
     s = preprocess_region(np.array([5.0]), None, np.zeros((1, 12)), 1e6)
     assert not s.valid
+
+
+def test_multi_year_horizon():
+    """Three years of history + a six-month prescription horizon: the
+    static-shape scan pipeline must stay finite end-to-end at T ~ 1280."""
+    import jax.numpy as jnp
+    from epidemicmodeling_tpu.pipelines.core import (forecast_scenarios,
+                                                     pareto_prescribe)
+
+    rng = np.random.default_rng(7)
+    T, H = 1100, 180
+    pop = 5e6
+    u = np.repeat(rng.integers(0, 3, (T // 50 + 1, 12)), 50, axis=0)[:T]
+    daily = 200 * (1.5 + np.sin(np.arange(T) / 90)) + rng.normal(0, 20, T)
+    conf = np.cumsum(np.maximum(daily, 0.0))
+    s = preprocess_region(conf, None, u, pop)
+    bt = build_region_batch([s], ["Longland "])
+    bf = build_region_batch([s], ["Longland "], horizon=H)
+    cfg = PipelineConfig(backend="lanes", pareto_chunk=2,
+                         smoother_gain="solve")
+    out = train_regions(bt, np.zeros(12), NPI_MAXES_DEFAULT, 180, cfg,
+                        dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out.trained.a2)).all()
+    scen, s_hist = forecast_scenarios(bf, out.trained, out.init,
+                                      np.ones(12), np.zeros(12),
+                                      NPI_MAXES_DEFAULT, T, cfg,
+                                      dtype=jnp.float32)
+    assert np.isfinite(np.asarray(scen["fixed"].s)).all()
+    par = pareto_prescribe(bf, out.trained, out.init, s_hist,
+                           np.array([1e-3, 0.5]), np.ones(12), np.zeros(12),
+                           NPI_MAXES_DEFAULT, T, cfg, dtype=jnp.float32)
+    u_p = np.asarray(par["u_prescribed"])
+    assert u_p.shape == (2, 1, H, 12)
+    assert np.isfinite(np.asarray(par["J0"])).all()
+    # bang-bang discreteness holds over the long horizon too
+    assert np.all((u_p == 0) | (u_p == NPI_MAXES_DEFAULT[None, None, None, :]))
