@@ -91,7 +91,8 @@ def _storeP3(ref, t, P):
 
 def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
                  pinit_ref, sm_ref, sp_ref, pm_ref, pp_ref,
-                 s_carry, P_carry, *, t_seg, gamma_discount):
+                 s_carry, P_carry, *, t_seg, gamma_discount,
+                 obs_type="NEWCASES"):
     seg = pl.program_id(1)
 
     @pl.when(seg == 0)
@@ -116,8 +117,13 @@ def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
             sm_ref[t, i] = s[i]
         _storeP3(pm_ref, t, P)
 
-        C = [s[1] * s[2], s[0] * s[2], s[0] * s[1]]
-        x_pred = s[0] * s[1] * s[2]
+        if obs_type == "NEWCASES":
+            C = [s[1] * s[2], s[0] * s[2], s[0] * s[1]]
+            x_pred = s[0] * s[1] * s[2]
+        else:                           # TOTALCASES: x = 1 - s0
+            zc = jnp.zeros_like(s[0])
+            C = [zc - 1.0, zc, zc]
+            x_pred = 1.0 - s[0]
         x_pred = jnp.where(x_pred > 0, x_pred, 0.0)
         valid = jnp.logical_not(jnp.isnan(x_t))
         innov = jnp.where(valid, x_t - x_pred, 0.0)
@@ -236,9 +242,11 @@ def _bwd3_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
     jax.lax.fori_loop(0, t_seg, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret"))
+@functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret",
+                                             "obs_type"))
 def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
-                gamma_discount: float = 0.995, interpret: bool = False):
+                gamma_discount: float = 0.995, interpret: bool = False,
+                obs_type: str = "NEWCASES"):
     """Fused forward+backward EKS for the 3-state SI-alpha system.
 
     u: (T, NPI, B); x, Rv: (T, B); scal: (11, B); vecs: (2, NPI, B);
@@ -258,7 +266,8 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
 
     fwd = pl.pallas_call(
         functools.partial(_fwd3_kernel, t_seg=t_seg,
-                          gamma_discount=float(gamma_discount)),
+                          gamma_discount=float(gamma_discount),
+                          obs_type=obs_type),
         grid=(n_lane, n_segs),
         in_specs=[
             pl.BlockSpec((t_seg, NPI, BT), lambda l, s: (s, 0, l),
@@ -350,7 +359,8 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     return S_SMOOTH, S_PLUS, S_MINUS
 
 
-def rho_from_priors(s_minus, x, Rv, inv_monitor_len: int):
+def rho_from_priors(s_minus, x, Rv, inv_monitor_len: int,
+                    obs_type: str = "NEWCASES"):
     """Post-hoc innovation-whiteness monitor (GEKF.m:171-179) from stored
     priors. s_minus: (T, 3, B); x, Rv: (T, B). Returns rho (T, B).
 
@@ -359,7 +369,10 @@ def rho_from_priors(s_minus, x, Rv, inv_monitor_len: int):
     count = min(t+1, L))."""
     T, _, B = s_minus.shape
     L = int(inv_monitor_len)
-    x_pred = s_minus[:, 0] * s_minus[:, 1] * s_minus[:, 2]
+    if obs_type == "NEWCASES":
+        x_pred = s_minus[:, 0] * s_minus[:, 1] * s_minus[:, 2]
+    else:                               # TOTALCASES
+        x_pred = 1.0 - s_minus[:, 0]
     x_pred = jnp.maximum(x_pred, 0.0)
     valid = jnp.logical_not(jnp.isnan(x))
     innov = jnp.where(valid, x - x_pred, 0.0)

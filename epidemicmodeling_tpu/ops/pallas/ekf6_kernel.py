@@ -159,7 +159,8 @@ def _store_P(ref, t, P):
 
 def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
                 pinit_ref, sm_ref, sp_ref, pm_ref, pp_ref,
-                s_carry, P_carry, *, t_seg, gamma_discount):
+                s_carry, P_carry, *, t_seg, gamma_discount,
+                obs_type="NEWCASES"):
     seg = pl.program_id(1)
 
     @pl.when(seg == 0)
@@ -186,9 +187,17 @@ def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
             sm_ref[t, i] = s[i]
         _store_P(pm_ref, t, P)
 
-        # observation row C (NEWCASES): [s1*s2, s0*s2, s0*s1, 0, 0, 0]
-        C = [s[1] * s[2], s[0] * s[2], s[0] * s[1]]
-        x_pred = s[0] * s[1] * s[2]
+        # observation row C (models/si_alpha.py obs models; only the first
+        # three entries can be nonzero for either type):
+        #   NEWCASES:   x = s0*s1*s2, C = [s1*s2, s0*s2, s0*s1, 0, 0, 0]
+        #   TOTALCASES: x = 1 - s0,   C = [-1, 0, 0, 0, 0, 0]
+        zero_c = jnp.zeros_like(s[0])
+        if obs_type == "NEWCASES":
+            C = [s[1] * s[2], s[0] * s[2], s[0] * s[1]]
+            x_pred = s[0] * s[1] * s[2]
+        else:                                         # TOTALCASES
+            C = [zero_c - 1.0, zero_c, zero_c]
+            x_pred = 1.0 - s[0]
         x_pred = jnp.where(x_pred > 0, x_pred, 0.0)   # obs hard margin
         valid = jnp.logical_not(jnp.isnan(x_t))
         innov = jnp.where(valid, x_t - x_pred, 0.0)
@@ -355,9 +364,11 @@ def _pick_seg(T, bt=BT):
     return T
 
 
-@functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret"))
+@functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret",
+                                             "obs_type"))
 def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
-                gamma_discount: float = 0.995, interpret: bool = False):
+                gamma_discount: float = 0.995, interpret: bool = False,
+                obs_type: str = "NEWCASES"):
     """Fused forward+backward EKS for the 6-state costate system.
 
     u: (T, NPI, B); x, Rv: (T, B); scal: (14, B) rows
@@ -381,7 +392,8 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     # ---- forward ----
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, t_seg=t_seg,
-                          gamma_discount=float(gamma_discount)),
+                          gamma_discount=float(gamma_discount),
+                          obs_type=obs_type),
         grid=(n_lane, n_segs),
         in_specs=[
             pl.BlockSpec((t_seg, NPI, BT), lambda l, s: (s, 0, l),

@@ -123,7 +123,7 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
           else Ps_final)
 
     if (cfg.backend == "pallas" and cfg.order == 1 and cfg.beta_ekf == 1.0
-            and cfg.observation_type == "NEWCASES"):
+            and cfg.observation_type in ("NEWCASES", "TOTALCASES")):
         return _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf)
 
     if (cfg.backend in ("lanes", "pallas") and cfg.order == 1
@@ -187,8 +187,10 @@ def _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf):
         blp(u), x_bl, Rv_bl, scal, vecs, blp(init.s_init),
         blp(init.Ps_init).reshape(9, R + pad), blp(sf),
         blp(Pf).reshape(9, R + pad),
-        gamma_discount=float(cfg.gamma_ekf), interpret=interp)
-    rho = rho_from_priors(sm, x_bl, Rv_bl, cfg.inv_monitor_len)
+        gamma_discount=float(cfg.gamma_ekf), interpret=interp,
+        obs_type=cfg.observation_type)
+    rho = rho_from_priors(sm, x_bl, Rv_bl, cfg.inv_monitor_len,
+                          obs_type=cfg.observation_type)
 
     unbl = lambda a: jnp.moveaxis(a[..., :R], -1, 0).astype(fdt)
     # 3-state systems return the input unchanged as u_opt; the smoother's
@@ -544,7 +546,8 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
             padl(tile_lanes(PPs)).reshape(36, Bl + pad),
             padl(tile_lanes(s_final)),
             padl(tile_lanes(Ps_final)).reshape(36, Bl + pad),
-            gamma_discount=float(cfg.gamma_ekf), interpret=interp)
+            gamma_discount=float(cfg.gamma_ekf), interpret=interp,
+            obs_type=cfg.observation_type)
         u_sm = u_sm_p[..., :Bl].astype(fdtype)             # (T, P, Bl)
     else:
         res = ekf_smoother_bl(
@@ -710,11 +713,11 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
 
     def sweep_chunk_lanes(eps_chunk, key_chunk):
         if cfg.backend == "pallas" and (
-                cfg.observation_type != "NEWCASES" or cfg.order != 1
-                or cfg.beta_ekf != 1.0):
+                cfg.observation_type not in ("NEWCASES", "TOTALCASES")
+                or cfg.order != 1 or cfg.beta_ekf != 1.0):
             raise ValueError(
-                "backend='pallas' supports NEWCASES, order=1, beta_ekf=1 "
-                "only; use backend='lanes'")
+                "backend='pallas' supports NEWCASES/TOTALCASES, order=1, "
+                "beta_ekf=1 only; use backend='lanes'")
         return _sweep_chunk_lanes_impl(
             eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
             s_final, Ps_final, s_hist_f, w_rp, s_nstd, i_nstd,

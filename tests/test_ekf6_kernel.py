@@ -188,3 +188,49 @@ def test_ekf3_pallas_matches_bl_core():
     assert scaled_err(sp, ref.s_plus) < 1e-4
     assert scaled_err(ssm, ref.s_smooth) < 1e-3
     assert scaled_err(rho, ref.rho) < 1e-2
+
+
+def test_totalcases_pallas_backends_agree():
+    """The fused kernels must match the batch-last core under TOTALCASES
+    observations too: whole-pipeline train + pareto parity (interpret on
+    CPU)."""
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import (
+        train_regions, forecast_scenarios, pareto_prescribe)
+
+    _, _, truth = synthetic_oxford_frame(n_regions=2, n_days=100, seed=11)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:80], None,
+                                      tr["u"][:80], tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names, obs_type="TOTALCASES")
+    bf = build_region_batch(sers, names, obs_type="TOTALCASES", horizon=19)
+    eps = np.asarray([1e-3, 0.3])
+    # train ONCE and share the coefficients: NNLS support sets can flip on
+    # f32 noise between backends, which would change WHICH NPI columns the
+    # bang-bang law selects — here we pin the kernel-vs-core parity only
+    cfg0 = PipelineConfig(smoother_gain="solve", backend="lanes",
+                          pareto_chunk=2, observation_type="TOTALCASES")
+    to = train_regions(bt, np.zeros(12), NPI_MAXES_DEFAULT, 80, cfg0,
+                       dtype=jnp.float32)
+    out = {}
+    for backend in ["lanes", "pallas"]:
+        cfg = PipelineConfig(smoother_gain="solve", backend=backend,
+                             pareto_chunk=2, observation_type="TOTALCASES")
+        _, s_hist = forecast_scenarios(
+            bf, to.trained, to.init, np.ones(12), np.zeros(12),
+            NPI_MAXES_DEFAULT, 80, cfg, dtype=jnp.float32)
+        out[backend] = pareto_prescribe(
+            bf, to.trained, to.init, s_hist, eps, np.ones(12), np.zeros(12),
+            NPI_MAXES_DEFAULT, 80, cfg, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(out["lanes"]["u_prescribed"]),
+        np.asarray(out["pallas"]["u_prescribed"]))
+    np.testing.assert_allclose(np.asarray(out["lanes"]["J1"]),
+                               np.asarray(out["pallas"]["J1"]),
+                               rtol=1e-5, atol=1e-7)
