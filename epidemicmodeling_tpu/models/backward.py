@@ -18,13 +18,14 @@ import jax.numpy as jnp
 
 from .base import EKFSystem
 from ..utils.math import clip_lo_hi, clip_hi_lo
-from .si_alpha import _obs_update, _obs_jacobian_row
+from .si_alpha import _obs_update, _obs_jacobian_row, check_obs_type
 from .costate import bang_bang_fill
 
 
 def si_alpha_backward_ekf_system(obs_type: str = "NEWCASES",
                                  input_dim: int = 12) -> EKFSystem:
     """3-state time-reversed system (SIAlphaModelBackwardEKF.m:48-110)."""
+    check_obs_type(obs_type)
 
     def state_hard_margins(s_k, params, k):
         return jnp.stack([
@@ -84,6 +85,7 @@ def si_alpha_costate_backward_ekf_system(obs_type: str = "NEWCASES",
     """6-state time-reversed optimal-control system
     (SIAlphaModelBackwardEKFOptControlled.m:81-156): sign-flipped SI-alpha +
     costate dynamics with the same in-filter bang-bang NaN replacement."""
+    check_obs_type(obs_type)
 
     def state_hard_margins(s_k, params, k):
         return jnp.concatenate([

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .base import EKFSystem
 from ..utils.math import clip_lo_hi, clip_hi_lo
-from .si_alpha import _obs_update, _obs_jacobian_row
+from .si_alpha import _obs_update, _obs_jacobian_row, check_obs_type
 
 
 def bang_bang_fill(u, s6, params):
@@ -40,6 +40,7 @@ def bang_bang_fill(u, s6, params):
 def si_alpha_costate_ekf_system(obs_type: str = "NEWCASES",
                                 input_dim: int = 12) -> EKFSystem:
     """Build the 6-state optimal-control EKF system."""
+    check_obs_type(obs_type)
 
     def state_hard_margins(s_k, params, k):
         # SIAlphaModelEKFOptControlled.m:27-31 — costates are unconstrained

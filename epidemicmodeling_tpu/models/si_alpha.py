@@ -135,6 +135,14 @@ def SIAlphaParams(*, dt, beta, gamma, a, b, u_min, u_max, s_min, i_min,
     }
 
 
+def check_obs_type(obs_type):
+    """Validate eagerly at system-construction time (SIAlphaModelEKF.m:51-59
+    errors on unknown types) so a typo fails before tracing, not mid-scan."""
+    if obs_type not in ("NEWCASES", "TOTALCASES"):
+        raise ValueError(f"unknown observation type {obs_type!r}; "
+                         "expected 'NEWCASES' or 'TOTALCASES'")
+
+
 def _obs_update(obs_type, s_k, v_bar):
     if obs_type == "NEWCASES":
         return (s_k[0] * s_k[1] * s_k[2] + v_bar).reshape(1)
@@ -161,6 +169,7 @@ def si_alpha_ekf_system(obs_type: str = "NEWCASES",
     obs_type is static: NEWCASES (x = s*i*alpha) or TOTALCASES (x = 1-s),
     SIAlphaModelEKF.m:51-59.
     """
+    check_obs_type(obs_type)
 
     def state_hard_margins(s_k, params, k):
         # SIAlphaModelEKF.m:27-31

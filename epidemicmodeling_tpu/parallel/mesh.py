@@ -41,15 +41,33 @@ def make_mesh(n_devices: int | None = None, axis_names=("dp", "ep")) -> Mesh:
     return Mesh(np.array(devs).reshape(shape), axis_names)
 
 
-def shard_batch_arrays(mesh: Mesh, tree, axis: str = "dp"):
-    """Place every array leaf with its leading axis sharded over ``axis``
-    (leaves whose leading dim does not divide the axis size are replicated)."""
+def shard_batch_arrays(mesh: Mesh, tree, axis: str = "dp",
+                       strict: bool = True):
+    """Place every array leaf with its leading axis sharded over ``axis``.
+
+    Scalars (ndim == 0) are replicated. A leaf whose leading dim does not
+    divide the axis size cannot be sharded; with ``strict=True`` (default)
+    that raises so a divisibility mistake fails fast instead of silently
+    demoting the sharding to replication; with ``strict=False`` it is
+    replicated with a warning.
+    """
     axis_size = mesh.shape[axis]
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % axis_size == 0:
-            spec = P(axis, *([None] * (x.ndim - 1)))
+        if getattr(x, "ndim", 0) >= 1:
+            if x.shape[0] % axis_size:
+                msg = (f"shard_batch_arrays: leaf with shape {x.shape} has "
+                       f"leading dim {x.shape[0]} not divisible by mesh "
+                       f"axis '{axis}' size {axis_size}")
+                if strict:
+                    raise ValueError(msg + " (pass strict=False to "
+                                     "replicate instead)")
+                import warnings
+                warnings.warn(msg + "; replicating", stacklevel=3)
+                spec = P()
+            else:
+                spec = P(axis, *([None] * (x.ndim - 1)))
         else:
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
