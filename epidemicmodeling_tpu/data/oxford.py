@@ -16,6 +16,46 @@ import pandas as pd
 from .preprocess import OXFORD_NPI_COLUMNS
 
 
+# Full column set of the live OxCGRT_latest.csv download (the file every
+# reference driver actually reads, e.g. Tools/TrainPredictPrescribeNPI.m:73-89
+# via '../covid-policy-tracker/data/OxCGRT_latest.csv'): identity columns
+# (CountryCode/RegionCode/Jurisdiction), the C/E/H policy indicators with
+# their geographic-scope Flag columns, M1_Wildcard, case/death counts and the
+# aggregate indices. Loaders key by name, so the extras are tolerated and
+# ignored; this list exists to synthesize/validate live-schema frames.
+OXCGRT_LATEST_COLUMNS = [
+    "CountryName", "CountryCode", "RegionName", "RegionCode", "Jurisdiction",
+    "Date",
+    "C1_School closing", "C1_Flag",
+    "C2_Workplace closing", "C2_Flag",
+    "C3_Cancel public events", "C3_Flag",
+    "C4_Restrictions on gatherings", "C4_Flag",
+    "C5_Close public transport", "C5_Flag",
+    "C6_Stay at home requirements", "C6_Flag",
+    "C7_Restrictions on internal movement", "C7_Flag",
+    "C8_International travel controls",
+    "E1_Income support", "E1_Flag",
+    "E2_Debt/contract relief",
+    "E3_Fiscal measures",
+    "E4_International support",
+    "H1_Public information campaigns", "H1_Flag",
+    "H2_Testing policy",
+    "H3_Contact tracing",
+    "H4_Emergency investment in healthcare",
+    "H5_Investment in vaccines",
+    "H6_Facial Coverings", "H6_Flag",
+    "H7_Vaccination policy", "H7_Flag",
+    "H8_Protection of elderly people", "H8_Flag",
+    "M1_Wildcard",
+    "ConfirmedCases", "ConfirmedDeaths",
+    "StringencyIndex", "StringencyIndexForDisplay",
+    "StringencyLegacyIndex", "StringencyLegacyIndexForDisplay",
+    "GovernmentResponseIndex", "GovernmentResponseIndexForDisplay",
+    "ContainmentHealthIndex", "ContainmentHealthIndexForDisplay",
+    "EconomicSupportIndex", "EconomicSupportIndexForDisplay",
+]
+
+
 def _geo_id(country, region) -> pd.Series:
     """Unique region key: 'CountryName RegionName' with a trailing space for
     country-level rows, mirroring strcat(country, " ", region)."""

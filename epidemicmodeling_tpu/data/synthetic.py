@@ -84,3 +84,38 @@ def synthetic_oxford_frame(n_regions: int = 4, n_days: int = 240,
                            for r in range(n_regions)],
     })
     return df, pops, truth
+
+
+def to_oxcgrt_latest_schema(df: pd.DataFrame, seed: int = 0) -> pd.DataFrame:
+    """Expand a minimal OxCGRT-schema frame to the FULL live
+    OxCGRT_latest.csv column set (data.oxford.OXCGRT_LATEST_COLUMNS): adds
+    CountryCode/RegionCode/Jurisdiction identity columns, the per-NPI
+    geographic-scope Flag columns, the E/H policy columns the pipeline does
+    not consume, M1_Wildcard, and the aggregate indices — so tests can prove
+    the loaders/pipeline run unmodified on a real OxCGRT download
+    (Tools/TrainPredictPrescribeNPI.m:73-89 reads this schema by name).
+    """
+    from .oxford import OXCGRT_LATEST_COLUMNS
+
+    rng = np.random.default_rng(seed)
+    out = df.copy()
+    countries = out["CountryName"].astype(str)
+    regions = out["RegionName"]
+    is_state = regions.notna() & (regions.astype(str) != "")
+    out["CountryCode"] = countries.str.upper().str.slice(0, 3)
+    out["RegionCode"] = np.where(
+        is_state, countries.str.upper().str.slice(0, 2) + "_" +
+        regions.astype(str).str.upper().str.slice(0, 2), "")
+    out["Jurisdiction"] = np.where(is_state, "STATE_TOTAL", "NAT_TOTAL")
+    for col in OXCGRT_LATEST_COLUMNS:
+        if col in out.columns:
+            continue
+        if col.endswith("_Flag"):
+            out[col] = rng.integers(0, 2, len(out)).astype(float)
+        elif col.endswith("ForDisplay") or col.endswith("Index"):
+            out[col] = rng.uniform(0, 100, len(out)).round(2)
+        elif col == "M1_Wildcard":
+            out[col] = np.nan
+        else:  # E/H policy indicators the pipeline ignores
+            out[col] = rng.integers(0, 3, len(out)).astype(float)
+    return out[OXCGRT_LATEST_COLUMNS]
