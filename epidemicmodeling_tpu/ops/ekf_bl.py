@@ -9,8 +9,9 @@ P (m, m, B), stacks (T, m, m, B) — so B rides the 128-wide vector lanes and
 the tiny matrix algebra unrolls into a few hundred fused elementwise FMAs
 per step across all lanes simultaneously. Functionally identical to the
 generic core for the feature subset the hot pipelines use (order-1, n=1
-observation, beta=1, Joseph or simple update, solve-gain smoother with
-unrolled Cholesky); golden tests pin it against the generic core at f64.
+observation, fixed-R adaptive beta, Joseph or simple update, solve-gain
+smoother with unrolled Cholesky); golden tests pin it against the generic
+core at f64.
 
 Citations: same semantics as Tools/GenericExtendedKalmanFilter.m (see
 ops/ekf.py for the line-by-line feature map).
@@ -131,7 +132,7 @@ class EKFResultBL(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("system", "gamma_discount", "joseph",
-                     "inv_monitor_len", "unroll"),
+                     "inv_monitor_len", "unroll", "beta"),
 )
 def ekf_smoother_bl(
     system: EKFSystemBL,
@@ -150,8 +151,14 @@ def ekf_smoother_bl(
                                 # monitor rho (GEKF.m:171-179)
     unroll: int = 1,            # lax.scan unroll factor (amortizes per-step
                                 # sequencing overhead on TPU)
+    beta: float = 1.0,          # adaptive-R blending (GEKF.m:180-185):
+                                # beta != 1 treats R[0] as a FIXED prior and
+                                # adapts R <- beta*R + (1-beta)*R_hat from
+                                # the innovation covariance on valid steps
+                                # (the caller asserts its R is fixed — the
+                                # generic core only adapts fixed R)
 ) -> EKFResultBL:
-    """Order-1, n=1, beta=1 (no adaptive R) batch-last EKF/EKS."""
+    """Order-1, n=1 batch-last EKF/EKS (adaptive R via ``beta``)."""
     m = system.state_dim
     T, B = x.shape
     dtype = x.dtype
@@ -162,15 +169,23 @@ def ekf_smoother_bl(
     if Ps_final is None:
         Ps_final = jnp.full((m, m, B), jnp.nan, dtype)
 
+    adaptive = beta != 1.0
     L_mon = int(inv_monitor_len)
+    if adaptive and L_mon <= 0:
+        raise ValueError("adaptive R (beta != 1) needs inv_monitor_len > 0 "
+                         "(the R_hat window, GEKF.m:180-185)")
     eps_mon = jnp.finfo(dtype).eps
 
     def forward_step(carry, inp):
-        if L_mon:
+        if adaptive:
+            (s_minus, P_minus, mean_buf, covn_buf, cov_buf,
+             R_carry) = carry
+        elif L_mon:
             s_minus, P_minus, mean_buf, covn_buf = carry
         else:
             s_minus, P_minus = carry
-        u_k, x_k, R_k, k = inp
+        u_k, x_k, R_sched_k, k = inp
+        R_k = R_carry if adaptive else R_sched_k
 
         C = system.obs_jacobian_row(s_minus, params, k)            # (m, B)
         x_pred = system.nlin_obs_update(s_minus, params, k)        # (B,)
@@ -210,12 +225,26 @@ def ekf_smoother_bl(
             covn_buf_n = jnp.concatenate([(cc / (R_k + eps_mon))[None],
                                           covn_buf[:-1]])
             rho_k = jnp.sum(covn_buf_n, axis=0) / cnt
+            if adaptive:
+                cov_buf_n = jnp.concatenate([cc[None], cov_buf[:-1]])
+                R_estim = jnp.sum(cov_buf_n, axis=0) / cnt
+                R_next = jnp.where(valid,
+                                   beta * R_k + (1.0 - beta) * R_estim, R_k)
+                return ((s_next, P_next, mean_buf_n, covn_buf_n, cov_buf_n,
+                         R_next),
+                        (s_minus, P_minus, s_plus, P_plus, u_opt_k, rho_k))
             return ((s_next, P_next, mean_buf_n, covn_buf_n),
                     (s_minus, P_minus, s_plus, P_plus, u_opt_k, rho_k))
         return (s_next, P_next), (s_minus, P_minus, s_plus, P_plus, u_opt_k)
 
     ks = jnp.arange(T)
-    if L_mon:
+    if adaptive:
+        init_carry = (s_init, Ps_init, jnp.zeros((L_mon, B), dtype),
+                      jnp.zeros((L_mon, B), dtype),
+                      jnp.zeros((L_mon, B), dtype), R[0])
+        _, (S_MINUS, P_MINUS, S_PLUS, P_PLUS, u_opt, RHO) = jax.lax.scan(
+            forward_step, init_carry, (u, x, R, ks), unroll=unroll)
+    elif L_mon:
         init_carry = (s_init, Ps_init, jnp.zeros((L_mon, B), dtype),
                       jnp.zeros((L_mon, B), dtype))
         _, (S_MINUS, P_MINUS, S_PLUS, P_PLUS, u_opt, RHO) = jax.lax.scan(

@@ -91,9 +91,14 @@ def _storeP3(ref, t, P):
 
 def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
                  pinit_ref, sm_ref, sp_ref, pm_ref, pp_ref,
-                 s_carry, P_carry, *, t_seg, gamma_discount,
-                 obs_type="NEWCASES"):
+                 s_carry, P_carry, mon_carry, *, t_seg, gamma_discount,
+                 obs_type="NEWCASES", beta=1.0, inv_monitor_len=21):
+    """mon_carry: adaptive-R VMEM windows, same layout as ekf6_kernel
+    (_fwd_kernel docstring); unused when beta == 1."""
     seg = pl.program_id(1)
+    adaptive = beta != 1.0
+    L_mon = int(inv_monitor_len)
+    L_pad = -(-L_mon // 8) * 8
 
     @pl.when(seg == 0)
     def _():
@@ -101,6 +106,9 @@ def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
             s_carry[i] = sinit_ref[i]
         for i in range(M3 * M3):
             P_carry[i] = pinit_ref[i]
+        if adaptive:
+            mon_carry[...] = jnp.zeros_like(mon_carry)
+            mon_carry[2 * L_pad] = r_ref[0, 0]
 
     scal = [scal_ref[i] for i in range(8)]
     vecs = [[vecs_ref[v, k] for k in range(NPI)] for v in range(2)]
@@ -111,7 +119,7 @@ def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
         P = _loadP3(P_carry)
         u_t = [u_ref[t, k] for k in range(NPI)]
         x_t = x_ref[t, 0]
-        R_t = r_ref[t, 0]
+        R_t = mon_carry[2 * L_pad] if adaptive else r_ref[t, 0]
 
         for i in range(M3):
             sm_ref[t, i] = s[i]
@@ -154,6 +162,25 @@ def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
         for i in range(M3):
             P_next[i][i] = P_next[i][i] + qdiag[i]
         P_next = _sym3(P_next)
+
+        if adaptive:
+            # same arithmetic as ekf6_kernel._fwd_kernel / ops/ekf_bl.py
+            k_glob = seg * t_seg + t
+            cnt = jnp.minimum(k_glob + 1, L_mon).astype(innov.dtype)
+            old_means = [mon_carry[i] for i in range(L_mon - 1)]
+            mean_rows = [innov] + old_means
+            mu = jnp.sum(jnp.stack(mean_rows), axis=0) / cnt
+            cc = (innov - mu) ** 2
+            old_covs = [mon_carry[L_pad + i] for i in range(L_mon - 1)]
+            cov_rows = [cc] + old_covs
+            R_estim = jnp.sum(jnp.stack(cov_rows), axis=0) / cnt
+            R_next = jnp.where(valid, beta * R_t + (1.0 - beta) * R_estim,
+                               R_t)
+            for i in range(L_mon):
+                mon_carry[i] = mean_rows[i]
+            for i in range(L_mon):
+                mon_carry[L_pad + i] = cov_rows[i]
+            mon_carry[2 * L_pad] = R_next
 
         for i in range(M3):
             s_carry[i] = s_next[i]
@@ -243,15 +270,18 @@ def _bwd3_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret",
-                                             "obs_type"))
+                                             "obs_type", "beta",
+                                             "inv_monitor_len"))
 def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
                 gamma_discount: float = 0.995, interpret: bool = False,
-                obs_type: str = "NEWCASES"):
+                obs_type: str = "NEWCASES", beta: float = 1.0,
+                inv_monitor_len: int = 21):
     """Fused forward+backward EKS for the 3-state SI-alpha system.
 
     u: (T, NPI, B); x, Rv: (T, B); scal: (11, B); vecs: (2, NPI, B);
     s_init: (3, B); Ps_init/Ps_final: (9, B) flattened; s_final: (3, B) NaN =
-    unconstrained. B multiple of 128.
+    unconstrained. B multiple of 128. beta != 1 enables the fixed-R adaptive
+    update in-kernel (Rv row 0 = prior; GEKF.m:180-185).
     Returns (S_SMOOTH (T,3,B), S_PLUS (T,3,B), S_MINUS (T,3,B)).
     """
     T, _, B = u.shape
@@ -263,11 +293,13 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     u = u.astype(f32)
     x = x.astype(f32)
     Rv = Rv.astype(f32)
+    L_pad = -(-int(inv_monitor_len) // 8) * 8
 
     fwd = pl.pallas_call(
         functools.partial(_fwd3_kernel, t_seg=t_seg,
                           gamma_discount=float(gamma_discount),
-                          obs_type=obs_type),
+                          obs_type=obs_type, beta=float(beta),
+                          inv_monitor_len=int(inv_monitor_len)),
         grid=(n_lane, n_segs),
         in_specs=[
             pl.BlockSpec((t_seg, NPI, BT), lambda l, s: (s, 0, l),
@@ -302,7 +334,8 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
             jax.ShapeDtypeStruct((T, M3 * M3, B), f32),
         ],
         scratch_shapes=[pltpu.VMEM((M3, BT), f32),
-                        pltpu.VMEM((M3 * M3, BT), f32)],
+                        pltpu.VMEM((M3 * M3, BT), f32),
+                        pltpu.VMEM((2 * L_pad + 1, BT), f32)],
         interpret=interpret,
     )
     S_MINUS, S_PLUS, P_MINUS, P_PLUS = fwd(

@@ -159,9 +159,17 @@ def _store_P(ref, t, P):
 
 def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
                 pinit_ref, sm_ref, sp_ref, pm_ref, pp_ref,
-                s_carry, P_carry, *, t_seg, gamma_discount,
-                obs_type="NEWCASES"):
+                s_carry, P_carry, mon_carry, *, t_seg, gamma_discount,
+                obs_type="NEWCASES", beta=1.0, inv_monitor_len=21):
+    """mon_carry (2*L_pad + 1, BT) VMEM scratch holds the adaptive-R state
+    when beta != 1 (GEKF.m:171-185): rows [0, L) = innovation window
+    (newest first), rows [L_pad, L_pad + L) = innovation-deviation-squared
+    window, last row = the adapted R. L is padded to a multiple of 8 so the
+    row blocks stay sublane-aligned; the pad rows are kept at zero."""
     seg = pl.program_id(1)
+    adaptive = beta != 1.0
+    L_mon = int(inv_monitor_len)
+    L_pad = -(-L_mon // 8) * 8
 
     @pl.when(seg == 0)
     def _():
@@ -170,6 +178,9 @@ def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
         for i in range(M):
             for j in range(M):
                 P_carry[i * M + j] = pinit_ref[i * M + j]
+        if adaptive:
+            mon_carry[...] = jnp.zeros_like(mon_carry)
+            mon_carry[2 * L_pad] = r_ref[0, 0]   # R prior = schedule row 0
 
     scal = [scal_ref[i] for i in range(8)]
     vecs = [[vecs_ref[v, k] for k in range(NPI)] for v in range(4)]
@@ -180,7 +191,7 @@ def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
         P = _load_P(P_carry)
         u_t = [u_ref[t, k] for k in range(NPI)]
         x_t = x_ref[t, 0]
-        R_t = r_ref[t, 0]
+        R_t = mon_carry[2 * L_pad] if adaptive else r_ref[t, 0]
 
         # store priors
         for i in range(M):
@@ -232,6 +243,26 @@ def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
         for i in range(M):
             P_next[i][i] = P_next[i][i] + qdiag[i]
         P_next = _sym(P_next)
+
+        if adaptive:
+            # innovation-covariance window + R adaptation, arithmetic
+            # identical to ops/ekf_bl.py (GEKF.m:171-185)
+            k_glob = seg * t_seg + t
+            cnt = jnp.minimum(k_glob + 1, L_mon).astype(innov.dtype)
+            old_means = [mon_carry[i] for i in range(L_mon - 1)]
+            mean_rows = [innov] + old_means
+            mu = jnp.sum(jnp.stack(mean_rows), axis=0) / cnt
+            cc = (innov - mu) ** 2
+            old_covs = [mon_carry[L_pad + i] for i in range(L_mon - 1)]
+            cov_rows = [cc] + old_covs
+            R_estim = jnp.sum(jnp.stack(cov_rows), axis=0) / cnt
+            R_next = jnp.where(valid, beta * R_t + (1.0 - beta) * R_estim,
+                               R_t)
+            for i in range(L_mon):
+                mon_carry[i] = mean_rows[i]
+            for i in range(L_mon):
+                mon_carry[L_pad + i] = cov_rows[i]
+            mon_carry[2 * L_pad] = R_next
 
         for i in range(M):
             s_carry[i] = s_next[i]
@@ -365,10 +396,12 @@ def _pick_seg(T, bt=BT):
 
 
 @functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret",
-                                             "obs_type"))
+                                             "obs_type", "beta",
+                                             "inv_monitor_len"))
 def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
                 gamma_discount: float = 0.995, interpret: bool = False,
-                obs_type: str = "NEWCASES"):
+                obs_type: str = "NEWCASES", beta: float = 1.0,
+                inv_monitor_len: int = 21):
     """Fused forward+backward EKS for the 6-state costate system.
 
     u: (T, NPI, B); x, Rv: (T, B); scal: (14, B) rows
@@ -377,6 +410,9 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     s_init: (M, B); Ps_init: (M*M, B) flattened row-major;
     s_final: (M, B) with NaN = unconstrained; Ps_final: (M*M, B) with NaN =
     unconstrained. B must be a multiple of 128.
+    beta != 1 enables the fixed-R adaptive update (GEKF.m:180-185): Rv row 0
+    is the fixed prior and R evolves in-kernel over the inv_monitor_len
+    innovation window, matching ops/ekf_bl.ekf_smoother_bl(beta=...).
     Returns (S_SMOOTH (T, M, B), U_OPT_SMOOTH (T, NPI, B), S_PLUS (T, M, B)).
     """
     T, _, B = u.shape
@@ -388,12 +424,14 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     u = u.astype(f32)
     x = x.astype(f32)
     Rv = Rv.astype(f32)
+    L_pad = -(-int(inv_monitor_len) // 8) * 8
 
     # ---- forward ----
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, t_seg=t_seg,
                           gamma_discount=float(gamma_discount),
-                          obs_type=obs_type),
+                          obs_type=obs_type, beta=float(beta),
+                          inv_monitor_len=int(inv_monitor_len)),
         grid=(n_lane, n_segs),
         in_specs=[
             pl.BlockSpec((t_seg, NPI, BT), lambda l, s: (s, 0, l),
@@ -430,6 +468,7 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
         scratch_shapes=[
             pltpu.VMEM((M, BT), f32),
             pltpu.VMEM((M * M, BT), f32),
+            pltpu.VMEM((2 * L_pad + 1, BT), f32),   # adaptive-R windows
         ],
         interpret=interpret,
     )

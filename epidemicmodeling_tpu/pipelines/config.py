@@ -39,7 +39,15 @@ class PipelineConfig:
     lasso_cv_folds: int = 50
 
     # EKF settings (:224-237)
-    beta_ekf: float = 1.0                   # adaptive-R blending (1 = off)
+    beta_ekf: float = 1.0                   # adaptive-R blending (1 = off).
+                                            # NOTE: the generic filter only
+                                            # adapts a FIXED R prior
+                                            # (GEKF.m:180); the pipeline's
+                                            # R_v is per-day, so this toggle
+                                            # is inert here in EVERY backend
+                                            # (kept for GEKF API parity —
+                                            # fixed-R callers of the cores/
+                                            # kernels pass beta directly)
     gamma_ekf: float = 0.995                # gain stability discount
     inv_monitor_len: int = 21
     order: int = 1

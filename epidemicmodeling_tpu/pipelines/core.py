@@ -122,12 +122,16 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
     Pf = (jnp.full((R, m, m), jnp.nan, x.dtype) if Ps_final is None
           else Ps_final)
 
-    if (cfg.backend == "pallas" and cfg.order == 1 and cfg.beta_ekf == 1.0
+    # NOTE beta_ekf does not gate the fast paths: the pipeline's R_v is a
+    # per-day schedule, and the generic filter only adapts R when it is a
+    # FIXED prior (GEKF.m:180 checks fixed_R), so beta_ekf != 1 is a no-op
+    # in every backend here. The fused kernels and the lanes core do
+    # support fixed-R adaptation (beta=...) for direct callers.
+    if (cfg.backend == "pallas" and cfg.order == 1
             and cfg.observation_type in ("NEWCASES", "TOTALCASES")):
         return _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf)
 
-    if (cfg.backend in ("lanes", "pallas") and cfg.order == 1
-            and cfg.beta_ekf == 1.0):
+    if cfg.backend in ("lanes", "pallas") and cfg.order == 1:
         from ..models.batch_last import si_alpha_ekf_system_bl
         from ..ops.ekf_bl import ekf_smoother_bl
         fdt = x.dtype
@@ -714,10 +718,10 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     def sweep_chunk_lanes(eps_chunk, key_chunk):
         if cfg.backend == "pallas" and (
                 cfg.observation_type not in ("NEWCASES", "TOTALCASES")
-                or cfg.order != 1 or cfg.beta_ekf != 1.0):
+                or cfg.order != 1):
             raise ValueError(
-                "backend='pallas' supports NEWCASES/TOTALCASES, order=1, "
-                "beta_ekf=1 only; use backend='lanes'")
+                "backend='pallas' supports NEWCASES/TOTALCASES "
+                "observations and order=1 only; use backend='vmap'")
         return _sweep_chunk_lanes_impl(
             eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
             s_final, Ps_final, s_hist_f, w_rp, s_nstd, i_nstd,

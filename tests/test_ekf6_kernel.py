@@ -234,3 +234,98 @@ def test_totalcases_pallas_backends_agree():
     np.testing.assert_allclose(np.asarray(out["lanes"]["J1"]),
                                np.asarray(out["pallas"]["J1"]),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_kernel_adaptive_R_matches_bl_core():
+    """beta=0.9 fixed-R adaptive update runs inside the fused kernel
+    (VMEM innovation windows) and matches the lanes core bit-for-bit in
+    interpret mode (same arithmetic; ekf_bl is itself pinned against the
+    generic core at f64)."""
+    u, x, Rv, params, s_init, Ps_init, Q, s_final, Ps_final = build(seed=4)
+
+    ref = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(), u, x, params, s_init, Ps_init,
+        s_final, Ps_final, Q=Q, R=Rv, gamma_discount=0.995, beta=0.9,
+        inv_monitor_len=21)
+
+    scal, vecs = pack_params_for_kernel(params, Q)
+    ssm, usm, s_plus = ekf6_pallas(
+        u, x, Rv, scal, vecs, s_init, Ps_init.reshape(36, -1),
+        s_final, Ps_final.reshape(36, -1), gamma_discount=0.995,
+        beta=0.9, inv_monitor_len=21,
+        interpret=jax.default_backend() not in ("tpu", "axon"))
+
+    def scaled_err(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return (np.abs(a - b) / (np.abs(b) + 1.0)).max()
+
+    assert scaled_err(s_plus, ref.s_plus) < 1e-3
+    assert scaled_err(ssm, ref.s_smooth) < 1e-2
+    np.testing.assert_array_equal(np.asarray(usm[64:-1]),
+                                  np.asarray(ref.u_opt_smooth[64:-1]))
+    # and adaptation changed the filter (sanity that beta took effect)
+    ref0 = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(), u, x, params, s_init, Ps_init,
+        s_final, Ps_final, Q=Q, R=Rv, gamma_discount=0.995)
+    assert np.abs(np.asarray(ref.s_plus)
+                  - np.asarray(ref0.s_plus)).max() > 0
+
+
+def test_ekf3_pallas_adaptive_R_matches_bl_core():
+    """3-state fused kernel with beta=0.9 fixed-R adaptation (in-kernel VMEM
+    windows) vs the lanes core."""
+    from epidemicmodeling_tpu.models.batch_last import si_alpha_ekf_system_bl
+    from epidemicmodeling_tpu.ops.pallas.ekf3_kernel import (
+        ekf3_pallas, pack_params3_for_kernel)
+
+    rng = np.random.default_rng(9)
+    B, T, T_hist = 128, 90, 70
+    u = rng.integers(0, 3, (T, 12, B)).astype(np.float32)
+    x = np.abs(rng.normal(1e-4, 2e-5, (T, B))).astype(np.float32)
+    x[T_hist:] = np.nan
+    Rv = np.full((T, B), 4e-10, np.float32)
+    params = {
+        "dt": jnp.full((B,), 1.0, jnp.float32),
+        "beta": jnp.full((B,), 0.2, jnp.float32),
+        "gamma": jnp.full((B,), 1 / 7, jnp.float32),
+        "b": jnp.full((B,), 0.05, jnp.float32),
+        "s_min": jnp.full((B,), 1e-6, jnp.float32),
+        "i_min": jnp.full((B,), 1e-6, jnp.float32),
+        "alpha_min": jnp.full((B,), 1e-8, jnp.float32),
+        "alpha_max": jnp.full((B,), 100.0, jnp.float32),
+        "a": jnp.asarray(0.004 * rng.random((12, B)), jnp.float32),
+        "u_min": jnp.zeros((12, B), jnp.float32),
+        "u_max": jnp.broadcast_to(
+            jnp.asarray(U_MAX, jnp.float32)[:, None], (12, B)),
+        "epsilon": jnp.full((B,), jnp.nan, jnp.float32),
+        "w": jnp.full((12, B), jnp.nan, jnp.float32),
+        "sigma": jnp.full((B,), 1e6, jnp.float32),
+    }
+    s_init = jnp.tile(jnp.asarray([0.999, 1e-4, 0.3], jnp.float32)[:, None],
+                      (1, B))
+    Ps_init = jnp.tile(jnp.asarray(
+        np.diag([1e-4, 1e-6, 0.1]).astype(np.float32))[:, :, None], (1, 1, B))
+    Q = jnp.tile(jnp.asarray(
+        np.diag([1e-8, 1e-8, 1e-4]).astype(np.float32))[:, :, None],
+        (1, 1, B))
+    s_final = jnp.full((3, B), jnp.nan, jnp.float32)
+    Ps_final = jnp.full((3, 3, B), jnp.nan, jnp.float32)
+
+    ref = ekf_smoother_bl(
+        si_alpha_ekf_system_bl(), jnp.asarray(u), jnp.asarray(x), params,
+        s_init, Ps_init, s_final, Ps_final, Q=Q, R=jnp.asarray(Rv),
+        gamma_discount=0.995, beta=0.9, inv_monitor_len=21)
+
+    scal, vecs = pack_params3_for_kernel(params, Q)
+    ssm, sp, sm = ekf3_pallas(
+        jnp.asarray(u), jnp.asarray(x), jnp.asarray(Rv), scal, vecs,
+        s_init, Ps_init.reshape(9, B), s_final, Ps_final.reshape(9, B),
+        gamma_discount=0.995, beta=0.9, inv_monitor_len=21,
+        interpret=jax.default_backend() not in ("tpu", "axon"))
+
+    def scaled_err(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return (np.abs(a - b) / (np.abs(b) + 1.0)).max()
+
+    assert scaled_err(sp, ref.s_plus) < 1e-4
+    assert scaled_err(ssm, ref.s_smooth) < 1e-3

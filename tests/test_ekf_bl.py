@@ -145,3 +145,65 @@ def test_pipeline_backends_agree():
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(out["vmap"][2]["J0"]),
                                np.asarray(out["lanes"][2]["J0"]), rtol=1e-9)
+
+
+def test_bl_adaptive_R_matches_generic():
+    """Fixed-R adaptive update (beta=0.9, GEKF.m:180-185): the lanes core's
+    in-scan innovation-window R adaptation must match the generic core,
+    which only adapts when R is fixed — so the generic lanes get a SCALAR R
+    prior while the lanes core takes row 0 of its (T, B) schedule."""
+    B, T = 4, 90
+    (u, obs, params_b, s_init, Ps_init, s_final, Ps_final, Q,
+     R) = build_lanes(B, T, nan_tail=25, with_costates=True, seed=3)
+    R_prior = 4e-10
+
+    system = si_alpha_costate_ekf_system()
+
+    def one(u_, x_, p_, si, Pi, sf, Pf, Q_):
+        return ekf_smoother(system, u_, x_, p_, si, Pi, sf, Pf, Q=Q_,
+                            R=jnp.asarray(R_prior), beta=0.9,
+                            gamma_discount=0.995, inv_monitor_len=21,
+                            smoother_gain="solve")
+
+    ref = jax.vmap(one)(jnp.asarray(u), jnp.asarray(obs)[..., None],
+                        params_b, jnp.asarray(s_init), jnp.asarray(Ps_init),
+                        jnp.asarray(s_final), jnp.asarray(Ps_final),
+                        jnp.asarray(Q))
+
+    params_bl = jax.tree.map(to_bl, params_b)
+    res = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(),
+        jnp.moveaxis(jnp.asarray(u), 0, -1), jnp.asarray(obs).T, params_bl,
+        to_bl(s_init), to_bl(Ps_init), to_bl(s_final), to_bl(Ps_final),
+        Q=to_bl(Q), R=jnp.full((T, B), R_prior), gamma_discount=0.995,
+        beta=0.9, inv_monitor_len=21)
+
+    np.testing.assert_allclose(np.moveaxis(np.asarray(res.s_plus), -1, 0),
+                               np.asarray(ref.s_plus), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(res.s_smooth), -1, 0),
+                               np.asarray(ref.s_smooth), rtol=1e-7,
+                               atol=1e-10)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(res.u_opt_smooth), -1, 0),
+        np.asarray(ref.u_opt_smooth), rtol=1e-7, atol=1e-9)
+    # adaptation really engaged: rho exists and the result differs from
+    # the non-adaptive run
+    base = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(),
+        jnp.moveaxis(jnp.asarray(u), 0, -1), jnp.asarray(obs).T, params_bl,
+        to_bl(s_init), to_bl(Ps_init), to_bl(s_final), to_bl(Ps_final),
+        Q=to_bl(Q), R=jnp.full((T, B), R_prior), gamma_discount=0.995,
+        inv_monitor_len=21)
+    assert np.abs(np.asarray(res.s_plus) - np.asarray(base.s_plus)).max() > 0
+
+
+def test_bl_adaptive_requires_monitor_window():
+    (u, obs, params_b, s_init, Ps_init, s_final, Ps_final, Q,
+     R) = build_lanes(2, 30, with_costates=True)
+    params_bl = jax.tree.map(to_bl, params_b)
+    with pytest.raises(ValueError, match="inv_monitor_len"):
+        ekf_smoother_bl(
+            si_alpha_costate_ekf_system_bl(),
+            jnp.moveaxis(jnp.asarray(u), 0, -1), jnp.asarray(obs).T,
+            params_bl, to_bl(s_init), to_bl(Ps_init), to_bl(s_final),
+            to_bl(Ps_final), Q=to_bl(Q), R=jnp.asarray(R).T, beta=0.9)

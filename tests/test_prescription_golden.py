@@ -81,7 +81,10 @@ def _prescribe_region(a, b, N_population):
     Ps_final[:3, :3] = np.nan
     for j in (3, 4, 5):
         Ps_final[j, j] = 1e-3                # :193-195
-    R_v = np.zeros((T, 1, 1))                # :158 var(scalar) == 0
+    # :158 R_v = var(5e3/N) — MATLAB var of a scalar is EXACTLY 0, and it is
+    # passed as a SCALAR, so GEKF treats it as a fixed prior and the
+    # beta_ekf=0.9 adaptive-R update engages (GEKF.m:180-185)
+    R_v = 0.0
 
     J0s, J1s, u_all = [], [], []
     for eps in EPS_GRID:
