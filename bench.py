@@ -154,12 +154,22 @@ def main():
         f" | front sizes head: {front.sum(axis=0)[:5]}")
 
     baseline_target_s = 60.0
+    filter_days = lanes * (T_HIST + HORIZON)
     print(json.dumps({
         "metric": ("xprize_train_predict_prescribe_"
                    f"{R_REGIONS}regions_{E_PARETO}eps_wallclock"),
         "value": round(warm, 3),
         "unit": "s",
         "vs_baseline": round(baseline_target_s / warm, 3),
+        # provenance: reference-scale workload on synthetic data generated
+        # in the OxCGRT schema (data/synthetic.py); scale matches
+        # testScripts/testPrescribeXPRIZE02.m exactly
+        "data": "synthetic-oxford-schema",
+        "backend": cfg.backend,
+        "device": str(jax.devices()[0]),
+        # 6-state EKS+control sweep throughput (Pareto stage only)
+        "filter_days": filter_days,
+        "filter_days_per_s": round(filter_days / warm, 0),
     }))
 
 

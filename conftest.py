@@ -20,8 +20,13 @@ if "xla_force_host_platform_device_count" not in prev:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# EPI_TEST_TPU=1 keeps the environment's real TPU backend so the
+# hardware-only tests (tests/test_tpu_hardware.py) can run:
+#   EPI_TEST_TPU=1 python -m pytest tests/test_tpu_hardware.py -q
+# Everything else runs on the virtual 8-device CPU mesh with float64.
+if os.environ.get("EPI_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: the suite is compile-dominated (fused
 # interpret-mode kernels, multi-device pjit), so warm-cache reruns are much

@@ -1,5 +1,6 @@
 from .layers import ExpLayer, ScaledTanhLayer
-from .lstm import LSTMForecaster, train_forecaster, rollout_forecast
+from .lstm import (LSTMForecaster, train_forecaster, rollout_forecast,
+                   rollout_forecast_exog)
 from .linear import ridge_regression, arx_fit_predict
 from .svr import svr_fit, svr_predict
 from .features import (lagged_features, long_weekend_feature,
@@ -8,6 +9,7 @@ from .features import (lagged_features, long_weekend_feature,
 __all__ = [
     "ExpLayer", "ScaledTanhLayer",
     "LSTMForecaster", "train_forecaster", "rollout_forecast",
+    "rollout_forecast_exog",
     "ridge_regression", "arx_fit_predict",
     "svr_fit", "svr_predict",
     "lagged_features", "long_weekend_feature", "standardize",

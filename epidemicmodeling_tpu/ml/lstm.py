@@ -96,19 +96,47 @@ def train_forecaster(model: LSTMForecaster, x, y, key, num_epochs: int = 250,
 def rollout_forecast(model: LSTMForecaster, params, history, n_ahead: int):
     """Closed-loop autoregressive rollout (predictAndUpdateState semantics,
     test00:118-128): feed the history, then repeatedly feed back the
-    prediction. history: (T, 1) standardized series. Returns (n_ahead,)."""
-    # Rebuild the recurrent state by running the full history each step is
-    # wasteful; instead run once and continue the scan manually.
-    cellparams = params
+    prediction. history: (T, 1) standardized series. Returns (n_ahead,).
 
-    def apply_seq(x_seq):
-        return model.apply(cellparams, x_seq)
-
-    seq = jnp.asarray(history)
+    Implementation: a FIXED-SHAPE (T + n_ahead, 1) buffer updated in place,
+    so the jitted apply compiles ONCE instead of once per step (a growing
+    sequence re-traces the whole LSTM every iteration). The LSTM is causal,
+    so the not-yet-written future rows cannot affect earlier outputs."""
+    history = jnp.asarray(history)
+    T = history.shape[0]
+    buf = jnp.concatenate(
+        [history, jnp.zeros((n_ahead,) + history.shape[1:], history.dtype)])
+    apply = jax.jit(model.apply)
     preds = []
-    for _ in range(n_ahead):
-        y = apply_seq(seq)
-        nxt = y[-1:, :]
-        preds.append(nxt[0])
-        seq = jnp.concatenate([seq, nxt], axis=0)
-    return jnp.stack(preds)[:, 0]
+    for t in range(n_ahead):
+        y = apply(params, buf)
+        yt = y[T + t - 1, 0]
+        preds.append(yt)
+        buf = buf.at[T + t, 0].set(yt)
+    return jnp.stack(preds)
+
+
+def rollout_forecast_exog(model: LSTMForecaster, params, history,
+                          future_exog, target_col: int = 0):
+    """Closed-loop MULTIVARIATE rollout (predictAndUpdateState semantics of
+    testScripts/test05DirectNewCasesLearning.m:216-233): the target channel
+    is fed back autoregressively while the exogenous feature columns (the
+    NPI schedule) follow the given future plan.
+
+    history: (T, F) feature sequence seen so far; future_exog: (H, F) future
+    feature rows whose target column is overwritten by the feedback.
+    Returns (H,) predictions of the target channel. Fixed-shape buffer =>
+    the jitted apply compiles once (see rollout_forecast)."""
+    history = jnp.asarray(history)
+    T = history.shape[0]
+    H = future_exog.shape[0]
+    buf = jnp.concatenate([history,
+                           jnp.asarray(future_exog, history.dtype)])
+    apply = jax.jit(model.apply)
+    preds = []
+    for t in range(H):
+        y = apply(params, buf)
+        yt = y[T + t - 1, 0]
+        preds.append(yt)
+        buf = buf.at[T + t, target_col].set(yt)
+    return jnp.stack(preds)

@@ -15,10 +15,14 @@ from .diffusion import diffusion_step_4, diffusion_step_8
 
 def walking_sources_sim(Lx: int, Ly: int, n_walkers: int, n_steps: int,
                         D: float, dt: float, dx: float, dy: float,
-                        exhale: float, key, neighborhood: int = 4):
+                        exhale: float, key, neighborhood: int = 4,
+                        return_fields: bool = False):
     """Random walkers injecting ``exhale`` into their current cell each step
     while the field diffuses. Returns (C (Lx, Ly) final field,
-    positions (n_steps, n_walkers, 2))."""
+    positions (n_steps, n_walkers, 2)); with ``return_fields=True`` returns
+    (C, positions, fields (n_steps, Lx, Ly)) — the per-step frames the
+    reference renders to video (testCellularAutomataForPDESolutionWalking.m
+    :65-101)."""
     k_init, k_run = jax.random.split(key)
     pos0 = jnp.stack([
         jax.random.randint(k_init, (n_walkers,), 1, Lx - 1),
@@ -38,9 +42,13 @@ def walking_sources_sim(Lx: int, Ly: int, n_walkers: int, n_steps: int,
             jnp.clip(pos[:, 0] + delta[:, 0], 1, Lx - 2),
             jnp.clip(pos[:, 1] + delta[:, 1], 1, Ly - 2),
         ], axis=1)
-        return (C, pos), pos
+        out = (pos, C) if return_fields else pos
+        return (C, pos), out
 
     keys = jax.random.split(k_run, n_steps)
-    (C, _), traj = jax.lax.scan(
+    (C, _), out = jax.lax.scan(
         body, (jnp.zeros((Lx, Ly)), pos0), keys)
-    return C, traj
+    if return_fields:
+        traj, fields = out
+        return C, traj, fields
+    return C, out

@@ -107,3 +107,37 @@ def test_standardize_and_split():
     np.testing.assert_allclose(np.asarray(Xs.std(axis=0)), 1.0, atol=1e-9)
     (Xtr, ytr), (Xte, yte) = train_test_split_time(X, X[:, 0], 0.8)
     assert Xtr.shape[0] == 40 and Xte.shape[0] == 10
+
+
+def test_exog_closed_loop_rollout_tracks_linear_dynamics():
+    """test05 direct multivariate closed-loop semantics
+    (test05DirectNewCasesLearning.m:216-233): target channel fed back,
+    exogenous channels following the schedule. On a linear AR(1)+exog
+    system a small LSTM must beat the persistence baseline closed-loop."""
+    import jax
+    from epidemicmodeling_tpu.ml import (LSTMForecaster, train_forecaster,
+                                         rollout_forecast_exog)
+
+    rng = np.random.default_rng(0)
+    T, H, F = 120, 15, 3
+    exog = rng.normal(size=(T + H, F - 1))
+    y = np.zeros(T + H)
+    for t in range(1, T + H):
+        y[t] = 0.8 * y[t - 1] + 0.5 * exog[t - 1, 0] - 0.3 * exog[t - 1, 1]
+    feats = np.column_stack([y, exog])
+
+    model = LSTMForecaster(hidden_sizes=(16,), out_features=1)
+    X = feats[:T - 1]
+    tgt = y[1:T][:, None]
+    params, losses = train_forecaster(model, jnp.asarray(X),
+                                      jnp.asarray(tgt),
+                                      jax.random.PRNGKey(0), num_epochs=200)
+    assert losses[-1] < 0.3 * losses[0]
+
+    preds = rollout_forecast_exog(model, params, feats[:T], feats[T:],
+                                  target_col=0)
+    assert preds.shape == (H,)
+    mae = float(np.mean(np.abs(np.asarray(preds) - y[T:])))
+    persist = float(np.mean(np.abs(y[T - 1] - y[T:])))
+    assert np.isfinite(mae)
+    assert mae < persist, (mae, persist)

@@ -158,3 +158,41 @@ def test_walking_sources_inject_and_diffuse():
     # ~200 units injected; diffusion conserves interior mass
     assert 150.0 < total <= 200.0 + 1e-6
     assert (np.asarray(traj) >= 1).all()
+
+
+def test_walking_sources_return_fields():
+    import jax
+    from epidemicmodeling_tpu.spatial.walkers import walking_sources_sim
+    C, traj, fields = walking_sources_sim(
+        21, 21, n_walkers=2, n_steps=30, D=1e-2, dt=0.01, dx=0.1, dy=0.1,
+        exhale=1.0, key=jax.random.PRNGKey(0), return_fields=True)
+    assert fields.shape == (30, 21, 21)
+    np.testing.assert_allclose(np.asarray(fields[-1]), np.asarray(C),
+                               rtol=1e-12)
+    # mass grows monotonically with each exhalation
+    masses = np.asarray(fields).sum(axis=(1, 2))
+    assert (np.diff(masses) > 0).all()
+
+
+def test_animation_writers_produce_playable_files(tmp_path):
+    """Video artifacts for the spatial sims
+    (testCellularAutomataForPDESolutionWalking.m:65-101 writes AVI)."""
+    import jax
+    from PIL import Image
+    from epidemicmodeling_tpu.spatial.walkers import walking_sources_sim
+    from epidemicmodeling_tpu.viz import animate_field, animate_agents
+
+    C, traj, fields = walking_sources_sim(
+        21, 21, n_walkers=2, n_steps=12, D=1e-2, dt=0.01, dx=0.1, dy=0.1,
+        exhale=1.0, key=jax.random.PRNGKey(0), return_fields=True)
+    p1 = animate_field(np.asarray(fields), str(tmp_path / "walk.mp4"),
+                       points=np.asarray(traj), fps=5)
+    # no ffmpeg in this image -> Pillow gif fallback, still playable
+    im = Image.open(p1)
+    assert getattr(im, "n_frames", 1) == 12
+
+    pos = np.cumsum(np.random.default_rng(0).normal(size=(10, 5, 2)), 0)
+    p2 = animate_agents(pos, str(tmp_path / "agents.gif"), fps=5,
+                        bounds=(-5, 5, -5, 5))
+    im2 = Image.open(p2)
+    assert getattr(im2, "n_frames", 1) == 10

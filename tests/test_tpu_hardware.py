@@ -1,0 +1,94 @@
+"""Hardware-only regression guards (real TPU; skipped on CPU).
+
+Run with:  EPI_TEST_TPU=1 python -m pytest tests/test_tpu_hardware.py -q
+
+On REAL TPU hardware Mosaic's f32 op ordering in the fused kernels flips a
+small fraction of bang-bang cells vs the batch-last XLA core — measured
+0.03-0.15% in round 1, and only at knife-edge switching points where the
+policies are cost-equivalent (see CLAUDE.md). These tests turn that
+observation into a bound so a kernel regression that widens the
+disagreement fails loudly instead of silently degrading prescriptions.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="real-TPU-only test; run with EPI_TEST_TPU=1 in the bench env")
+
+
+def test_bang_bang_agreement_bound():
+    from epidemicmodeling_tpu.models.batch_last import \
+        si_alpha_costate_ekf_system_bl
+    from epidemicmodeling_tpu.ops.ekf_bl import ekf_smoother_bl
+    from epidemicmodeling_tpu.ops.pallas.ekf6_kernel import (
+        ekf6_pallas, pack_params_for_kernel)
+    from tests.test_ekf6_kernel import build
+
+    T_hist = 64
+    u, x, Rv, params, s_init, Ps_init, Q, s_final, Ps_final = build(
+        B=512, T=96, T_hist=T_hist, seed=11)
+    # epsilon spread like the XPRIZE grid: half log-tiny (knife-edge
+    # region), half linear
+    B = 512
+    rng = np.random.default_rng(0)
+    eps = np.concatenate([10.0 ** rng.uniform(-12, -2, B // 2),
+                          rng.uniform(0.01, 1.0, B - B // 2)])
+    params = dict(params)
+    params["epsilon"] = jnp.asarray(eps, jnp.float32)
+
+    ref = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(), u, x, params, s_init, Ps_init,
+        s_final, Ps_final, Q=Q, R=Rv, gamma_discount=0.995)
+    scal, vecs = pack_params_for_kernel(params, Q)
+    ssm, usm, s_plus = ekf6_pallas(
+        u, x, Rv, scal, vecs, s_init, Ps_init.reshape(36, -1),
+        s_final, Ps_final.reshape(36, -1), gamma_discount=0.995,
+        interpret=False)
+
+    # prescribed future cells (last smoother sample stays zero by design)
+    a = np.asarray(usm[T_hist:-1])                  # (H-1, NPI, B)
+    b = np.asarray(ref.u_opt_smooth[T_hist:-1])
+    differ = a != b                                  # bool per cell
+    rate = differ.mean()
+    # per-lane disagreement grouped by epsilon magnitude
+    lane_rate = differ.mean(axis=(0, 1))             # (B,)
+    hi_eps = eps >= 1e-3
+    rate_hi = lane_rate[hi_eps].mean()
+    print(f"bang-bang disagreement: overall {rate:.5f}, "
+          f"eps>=1e-3 lanes {rate_hi:.5f}")
+    # round-1 measurement: 0.03-0.15% overall, knife-edge lanes only
+    assert rate < 0.005, f"kernel/lanes prescription divergence {rate:.4%}"
+    assert rate_hi < 0.001, (
+        f"disagreement at non-knife-edge epsilon: {rate_hi:.4%}")
+
+
+def test_pallas_states_close_to_lanes_on_hardware():
+    """Continuous state trajectories stay close across backends on real
+    hardware (magnitude-scaled, f32)."""
+    from epidemicmodeling_tpu.models.batch_last import \
+        si_alpha_costate_ekf_system_bl
+    from epidemicmodeling_tpu.ops.ekf_bl import ekf_smoother_bl
+    from epidemicmodeling_tpu.ops.pallas.ekf6_kernel import (
+        ekf6_pallas, pack_params_for_kernel)
+    from tests.test_ekf6_kernel import build
+
+    u, x, Rv, params, s_init, Ps_init, Q, s_final, Ps_final = build(seed=2)
+    ref = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(), u, x, params, s_init, Ps_init,
+        s_final, Ps_final, Q=Q, R=Rv, gamma_discount=0.995)
+    scal, vecs = pack_params_for_kernel(params, Q)
+    ssm, usm, s_plus = ekf6_pallas(
+        u, x, Rv, scal, vecs, s_init, Ps_init.reshape(36, -1),
+        s_final, Ps_final.reshape(36, -1), gamma_discount=0.995,
+        interpret=False)
+
+    def scaled_err(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return (np.abs(a - b) / (np.abs(b) + 1.0)).max()
+
+    assert scaled_err(s_plus, ref.s_plus) < 1e-3
+    assert scaled_err(ssm, ref.s_smooth) < 1e-2
