@@ -112,9 +112,16 @@ def train_predict_prescribe(
     key=None,
     dtype=None,
     trained=None,
+    mesh=None,
 ) -> TrainPredictPrescribeResult:
     """Drop-in equivalent of Tools/TrainPredictPrescribeNPI.m:1 with the same
-    argument intent (dates, files, NPI config, epsilon sweep, weights)."""
+    argument intent (dates, files, NPI config, epsilon sweep, weights).
+
+    mesh: optional jax.sharding.Mesh with ("dp", "ep") axes
+    (parallel.make_mesh): regions shard over dp, the Pareto ensemble over
+    ep, and every stage runs SPMD across the mesh with no collectives in
+    the hot scans (the reference is serial; SURVEY.md §2.10 maps its loop
+    nest onto exactly these axes)."""
     from ..utils.dates import num_days_between
     npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
     P = len(npi_columns)
@@ -142,7 +149,7 @@ def train_predict_prescribe(
     result = run_pipeline(batch_train, batch_full, actual_npis, T_hist,
                           npi_weights, epsilon_values, npi_mins, npi_maxes,
                           num_regression_days, cfg, key, dtype,
-                          trained=trained)
+                          trained=trained, mesh=mesh)
     if trained_params_file:
         if str(trained_params_file).endswith(".mat"):
             from .checkpoint import save_trained_params_mat
@@ -156,13 +163,49 @@ def train_predict_prescribe(
 def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
                  epsilon_values, npi_mins, npi_maxes, num_regression_days,
                  cfg: PipelineConfig = PipelineConfig(), key=None,
-                 dtype=None, trained=None) -> TrainPredictPrescribeResult:
+                 dtype=None, trained=None,
+                 mesh=None) -> TrainPredictPrescribeResult:
     """Run the batched compute pipeline on prepared RegionBatches.
 
     trained: optional pre-trained TrainedRegionParams (the
     testScripts/testPrescribeXPRIZE01.m flow: prescribe from a saved
     checkpoint without retraining). Rows are re-aligned to the batch's
-    region order by name; regions absent from the checkpoint raise."""
+    region order by name; regions absent from the checkpoint raise.
+
+    mesh: optional ("dp", "ep") device mesh — shards the region axis over
+    dp and the epsilon sweep over ep (see train_predict_prescribe)."""
+    if mesh is not None:
+        import contextlib
+        from ..parallel.mesh import shard_batch_arrays
+        R = len(batch_train.names)
+        if R % mesh.shape["dp"]:
+            raise ValueError(
+                f"{R} regions not divisible by mesh dp={mesh.shape['dp']}; "
+                "pad the geo list or pick a different mesh")
+        shard_fields = ("observations", "new_cases_norm", "confirmed_norm",
+                        "npis", "obs_noise_var", "population")
+        batch_train = batch_train._replace(
+            **{k: shard_batch_arrays(mesh, getattr(batch_train, k))
+               for k in shard_fields})
+        batch_full = batch_full._replace(
+            **{k: shard_batch_arrays(mesh, getattr(batch_full, k))
+               for k in shard_fields})
+        if actual_npis is not None:
+            actual_npis = shard_batch_arrays(mesh, actual_npis)
+        ctx = mesh
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _run_pipeline_body(
+            batch_train, batch_full, actual_npis, T_hist, npi_weights,
+            epsilon_values, npi_mins, npi_maxes, num_regression_days,
+            cfg, key, dtype, trained, mesh)
+
+
+def _run_pipeline_body(batch_train, batch_full, actual_npis, T_hist,
+                       npi_weights, epsilon_values, npi_mins, npi_maxes,
+                       num_regression_days, cfg, key, dtype, trained, mesh):
     if trained is None:
         train_out = train_regions(batch_train, npi_mins, npi_maxes,
                                   num_regression_days, cfg, dtype)
@@ -188,7 +231,7 @@ def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
     par = pareto_prescribe(
         batch_full, train_out.trained, train_out.init, s_hist,
         epsilon_values, npi_weights, npi_mins, npi_maxes, T_hist, cfg,
-        key=key, dtype=dtype)
+        key=key, dtype=dtype, mesh=mesh)
     mc = monte_carlo_baseline(
         batch_full, train_out.trained, train_out.init, s_hist, npi_weights,
         npi_mins, npi_maxes, T_hist, cfg, key=key, dtype=dtype)

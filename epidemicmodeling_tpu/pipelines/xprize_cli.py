@@ -67,6 +67,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     choices=["vmap", "lanes", "pallas"],
                     help="compute backend (pallas falls back to lanes off-TPU)")
     ap.add_argument("--pareto-chunk", type=int, default=32)
+    ap.add_argument("--cpu-devices", type=int, default=None,
+                    help="force the CPU platform with N virtual devices "
+                         "(smoke-tests --mesh without TPU hardware; the "
+                         "environment may pin another platform via "
+                         "sitecustomize, so this uses jax.config.update "
+                         "which must run before any computation)")
+    ap.add_argument("--mesh", default=None,
+                    help="run SPMD over a device mesh: 'auto' uses all "
+                         "visible devices (dp x ep factorization), or "
+                         "'DPxEP' explicitly, e.g. '4x2'. Default: single "
+                         "device")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--float64", action="store_true",
                     help="run in float64 (CPU parity mode)")
@@ -77,6 +88,18 @@ def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
 
     import jax
+    if args.cpu_devices:
+        import os as _os
+        prev = _os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in prev:
+            _os.environ["XLA_FLAGS"] = (
+                prev + f" --xla_force_host_platform_device_count="
+                f"{args.cpu_devices}").strip()
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+        except Exception:
+            pass
     import jax.numpy as jnp
     from ..control import epsilon_grid
     from ..data import NPI_MAXES_DEFAULT, OXFORD_NPI_COLUMNS
@@ -110,6 +133,23 @@ def main(argv=None) -> int:
         print(f"loaded trained parameters for {len(trained.names)} geos "
               f"from {args.load_params}")
 
+    mesh = None
+    if args.mesh:
+        from ..parallel import make_mesh
+        from jax.sharding import Mesh
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            dp, ep = (int(v) for v in args.mesh.lower().split("x"))
+            devs = jax.devices()
+            if dp * ep > len(devs):
+                raise SystemExit(f"--mesh {args.mesh} needs {dp * ep} "
+                                 f"devices, found {len(devs)}")
+            mesh = Mesh(np.array(devs[:dp * ep]).reshape(dp, ep),
+                        ("dp", "ep"))
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices",
+              file=sys.stderr)
+
     eps = np.asarray(epsilon_grid(args.num_epsilon))
     res = train_predict_prescribe(
         npi_weights=npi_weights,
@@ -128,6 +168,7 @@ def main(argv=None) -> int:
         key=jax.random.PRNGKey(args.seed),
         dtype=jnp.float64 if args.float64 else None,
         trained=trained,
+        mesh=mesh,
     )
 
     names = list(res.trained.names)

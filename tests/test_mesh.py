@@ -42,3 +42,78 @@ def test_shard_batch_arrays_nonstrict_warns_and_replicates():
         out = shard_batch_arrays(mesh, bad, strict=False)
     assert out["a"].sharding.spec == P()
     np.testing.assert_array_equal(np.asarray(out["a"]), bad["a"])
+
+
+def test_full_pipeline_sharded_matches_single_device():
+    """run_pipeline(mesh=...) over the 8-device CPU mesh must produce the
+    same prescriptions/costs as the unsharded run — SPMD partitioning only
+    changes placement, not semantics (no cross-lane reductions in the hot
+    scans)."""
+    import jax.numpy as jnp
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        run_pipeline
+    from epidemicmodeling_tpu.control import epsilon_grid
+
+    _, _, truth = synthetic_oxford_frame(n_regions=4, n_days=120, seed=2)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:100], None,
+                                      tr["u"][:100], tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names)
+    bf = build_region_batch(sers, names, horizon=19)
+    eps = np.asarray(epsilon_grid(8))
+    cfg = PipelineConfig(backend="lanes", pareto_chunk=4, num_monte_carlo=16,
+                         smoother_gain="solve")
+    kw = dict(npi_weights=np.ones(12), epsilon_values=eps,
+              npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
+              num_regression_days=100, cfg=cfg)
+
+    single = run_pipeline(bt, bf, None, 100, **kw)
+    mesh = make_mesh(8)
+    sharded = run_pipeline(bt, bf, None, 100, mesh=mesh, **kw)
+
+    np.testing.assert_allclose(np.asarray(sharded.pareto["J0"]),
+                               np.asarray(single.pareto["J0"]),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(sharded.pareto["J1"]),
+                               np.asarray(single.pareto["J1"]),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.pareto["u_prescribed"]),
+        np.asarray(single.pareto["u_prescribed"]))
+    np.testing.assert_allclose(np.asarray(sharded.trained.a2),
+                               np.asarray(single.trained.a2),
+                               rtol=1e-12, atol=1e-15)
+
+
+def test_pipeline_mesh_rejects_indivisible_regions():
+    import pytest as _pytest
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        run_pipeline
+    from epidemicmodeling_tpu.control import epsilon_grid
+
+    _, _, truth = synthetic_oxford_frame(n_regions=3, n_days=80, seed=2)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:70], None,
+                                      tr["u"][:70], tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names)
+    bf = build_region_batch(sers, names, horizon=9)
+    with _pytest.raises(ValueError, match="not divisible"):
+        run_pipeline(bt, bf, None, 70, np.ones(12),
+                     np.asarray(epsilon_grid(4)), np.zeros(12),
+                     NPI_MAXES_DEFAULT, 70,
+                     PipelineConfig(backend="lanes", pareto_chunk=4),
+                     mesh=make_mesh(8))
