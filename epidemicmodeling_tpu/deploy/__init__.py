@@ -7,6 +7,8 @@ Build on demand with ``build_library()`` (g++ -O3 -shared); call through
 implementation by tests/test_deploy.py.
 """
 
-from .native import build_library, newcase_ekf_optimal_npi_native
+from .native import (build_library, newcase_ekf_optimal_npi_native,
+                     newcase_ekf_pareto_sweep_native)
 
-__all__ = ["build_library", "newcase_ekf_optimal_npi_native"]
+__all__ = ["build_library", "newcase_ekf_optimal_npi_native",
+           "newcase_ekf_pareto_sweep_native"]

@@ -18,7 +18,8 @@ def build_library(force: bool = False) -> str:
     if (not force and os.path.exists(_LIB)
             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+           "-pthread", _SRC, "-o", _LIB]
     subprocess.run(cmd, check=True, capture_output=True)
     return _LIB
 
@@ -40,6 +41,20 @@ def _get_lib():
             d, d,             # Q, R_v
             ctypes.c_double, ctypes.c_double, ctypes.c_int,
             d, d, d,          # outputs
+        ]
+        _lib_handle.newcase_ekf_pareto_sweep.restype = ctypes.c_int
+        _lib_handle.newcase_ekf_pareto_sweep.argtypes = [
+            d, d, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,
+            d, ctypes.c_int,  # eps_values, n_eps
+            d, d, d, d,       # a, u_min, u_max, w
+            d, d, d, d,       # s_init, Ps_init, s_final, Ps_final
+            d, d,             # Q, R_v
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            d, ctypes.c_int,  # sia_hist, n_threads
+            d, d, d,          # U_OPT_SMOOTH, J0, J1
         ]
     return _lib_handle
 
@@ -95,3 +110,53 @@ def newcase_ekf_optimal_npi_native(u, x, params, s_init, Ps_init,
     if rc != 0:
         raise RuntimeError(f"native EKF failed with code {rc}")
     return {"S_PLUS": S_PLUS, "S_SMOOTH": S_SMOOTH, "U_OPT_SMOOTH": U_SM}
+
+
+def newcase_ekf_pareto_sweep_native(u, x, T_hist, params, eps_values,
+                                    s_init, Ps_init, s_final, Ps_final,
+                                    Q, R_v, sia_hist, beta_ekf=1.0,
+                                    gamma_ekf=0.995, inv_monitor_len=21,
+                                    n_threads=0):
+    """Threaded full Pareto epsilon sweep for one region (the serving-side
+    testPrescribeXPRIZE01 flow: per epsilon opt-controlled EKF/EKS +
+    horizon re-simulation + NPICost). params: SIAlphaParams dict whose
+    "epsilon" is ignored; sia_hist: (T_hist, 3) historic (s, i, alpha)
+    trajectory; n_threads=0 uses all hardware threads. Returns dict with
+    U_OPT_SMOOTH (E, T, P), J0 (E,), J1 (E,)."""
+    lib = _get_lib()
+    u = np.ascontiguousarray(np.asarray(u, float))
+    x = np.ascontiguousarray(np.asarray(x, float).reshape(-1))
+    T, P = u.shape
+    eps = np.ascontiguousarray(np.asarray(eps_values, float).reshape(-1))
+    E = eps.shape[0]
+    g = lambda k: float(np.asarray(params[k]))
+    arr = lambda k: np.ascontiguousarray(np.asarray(params[k], float)
+                                         .reshape(-1))
+    a_c, u_min, u_max, w = arr("a"), arr("u_min"), arr("u_max"), arr("w")
+    s_init = np.ascontiguousarray(np.asarray(s_init, float).reshape(6))
+    Ps_init = np.ascontiguousarray(np.asarray(Ps_init, float).reshape(6, 6))
+    s_final = np.ascontiguousarray(np.asarray(s_final, float).reshape(6))
+    Ps_final = np.ascontiguousarray(np.asarray(Ps_final, float).reshape(6, 6))
+    Q = np.ascontiguousarray(np.asarray(Q, float).reshape(6, 6))
+    R_v = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(R_v, float).reshape(-1), (T,)).copy())
+    sia_hist = np.ascontiguousarray(
+        np.asarray(sia_hist, float).reshape(int(T_hist), 3))
+
+    U_SM = np.zeros((E, T, P))
+    J0 = np.zeros(E)
+    J1 = np.zeros(E)
+    rc = lib.newcase_ekf_pareto_sweep(
+        _cptr(u), _cptr(x), T, P, int(T_hist),
+        g("dt"), g("beta"), g("gamma"), g("b"), g("sigma"),
+        g("alpha_min"), g("alpha_max"),
+        _cptr(eps), E,
+        _cptr(a_c), _cptr(u_min), _cptr(u_max), _cptr(w),
+        _cptr(s_init), _cptr(Ps_init), _cptr(s_final), _cptr(Ps_final),
+        _cptr(Q), _cptr(R_v),
+        float(beta_ekf), float(gamma_ekf), int(inv_monitor_len),
+        _cptr(sia_hist), int(n_threads),
+        _cptr(U_SM), _cptr(J0), _cptr(J1))
+    if rc != 0:
+        raise RuntimeError(f"native Pareto sweep failed with code {rc}")
+    return {"U_OPT_SMOOTH": U_SM, "J0": J0, "J1": J1}

@@ -12,8 +12,10 @@
 //
 // Layouts: time-major row-major. u: T x P; x: T; outputs T x 6 / T x P.
 
+#include <atomic>
 #include <cmath>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -338,6 +340,97 @@ int newcase_ekf_optimal_npi(
     std::memcpy(S_SMOOTH_out, S_SMOOTH.data(), sizeof(double) * T * M);
     std::memcpy(U_OPT_SMOOTH_out, U_SM.data(), sizeof(double) * T * P);
     return 0;
+}
+
+// Full Pareto epsilon sweep for ONE region, threaded across epsilon values
+// (the serving-side equivalent of testScripts/testPrescribeXPRIZE01.m
+// :160-240: per epsilon run the opt-controlled EKF/EKS, re-simulate the
+// horizon with SIalpha_Controlled from the historic endpoint, score with
+// NPICost). sia_hist: T_hist x 3 historic (s, i, alpha) trajectory;
+// the prescribed window is rows T_hist..T-1 of u (NaN on input).
+// Outputs: U_OPT_SMOOTH_out (n_eps x T x P), J0_out/J1_out (n_eps).
+int newcase_ekf_pareto_sweep(
+    const double* u, const double* x, int T, int P, int T_hist,
+    double dt, double beta_model, double gamma_model, double b_coef,
+    double sigma, double alpha_min, double alpha_max,
+    const double* eps_values, int n_eps,
+    const double* a_coef, const double* u_min, const double* u_max,
+    const double* w,
+    const double* s_init, const double* Ps_init,
+    const double* s_final, const double* Ps_final,
+    const double* Q_in, const double* R_v,
+    double beta_ekf, double gamma_ekf, int inv_monitor_len,
+    const double* sia_hist, int n_threads,
+    double* U_OPT_SMOOTH_out, double* J0_out, double* J1_out) {
+    if (T_hist < 1 || T_hist > T) return 1;
+    const int H = T - T_hist;
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 1;
+    }
+    if (n_threads > n_eps) n_threads = n_eps;
+
+    std::atomic<int> next_idx{0};
+    std::atomic<int> status{0};
+
+    auto worker = [&]() {
+        std::vector<double> S_PLUS(T * M), S_SMOOTH(T * M);
+        for (;;) {
+            int ll = next_idx.fetch_add(1);
+            if (ll >= n_eps) break;
+            double* u_out = U_OPT_SMOOTH_out + (size_t)ll * T * P;
+            int rc = newcase_ekf_optimal_npi(
+                u, x, T, P, dt, beta_model, gamma_model, b_coef,
+                eps_values[ll], sigma, alpha_min, alpha_max,
+                a_coef, u_min, u_max, w, s_init, Ps_init, s_final,
+                Ps_final, Q_in, R_v, beta_ekf, gamma_ekf,
+                inv_monitor_len, S_PLUS.data(), S_SMOOTH.data(), u_out);
+            if (rc != 0) { status.store(rc); continue; }
+
+            // re-simulate the horizon (SIalpha_Controlled semantics:
+            // noise-free Euler, outputs drop the initial condition) from
+            // the historic endpoint under the prescribed inputs
+            Params p{dt, beta_model, gamma_model, b_coef, eps_values[ll],
+                     sigma, alpha_min, alpha_max, a_coef, u_min, u_max, w,
+                     P};
+            double sc = sia_hist[(T_hist - 1) * 3 + 0];
+            double ic = sia_hist[(T_hist - 1) * 3 + 1];
+            double al = sia_hist[(T_hist - 1) * 3 + 2];
+            double sum_cases = 0.0;
+            for (int t = 0; t < T_hist; ++t)
+                sum_cases += sia_hist[t * 3 + 0] * sia_hist[t * 3 + 1]
+                             * sia_hist[t * 3 + 2];
+            for (int t = 0; t < H; ++t) {
+                const double* u_t = u_out + (size_t)(T_hist + t) * P;
+                double drive_u = 0.0;
+                for (int k = 0; k < P; ++k)
+                    drive_u += a_coef[k] * (u_max[k] - u_t[k]);
+                double s1 = clip(sc - dt * al * sc * ic, 0.0, 1.0);
+                double i1 = clip(ic + dt * (al * sc * ic - beta_model * ic),
+                                 0.0, 1.0);
+                double a1 = clip(al + dt * (-gamma_model * al
+                                            + gamma_model * b_coef
+                                            + gamma_model * drive_u),
+                                 alpha_min, alpha_max);
+                sc = s1; ic = i1; al = a1;
+                sum_cases += sc * ic * al;
+            }
+            // NPICost (Tools/NPICost.m:5-10): J0 = mean(newcases),
+            // J1 = mean over all (npi, day) entries of weights .* inputs
+            J0_out[ll] = sum_cases / (double)T;
+            double sum_wu = 0.0;
+            for (int t = 0; t < T; ++t)
+                for (int k = 0; k < P; ++k)
+                    sum_wu += w[k] * u_out[(size_t)t * P + k];
+            J1_out[ll] = sum_wu / (double)(T * P);
+        }
+    };
+
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return status.load();
 }
 
 }  // extern "C"
