@@ -19,6 +19,7 @@ step under jit.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -93,6 +94,14 @@ def train_forecaster(model: LSTMForecaster, x, y, key, num_epochs: int = 250,
     return params, losses
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _apply_model(model, params, x):
+    # module-level jit keyed on the (hashable) flax module so repeated
+    # rollout calls reuse ONE compiled executable instead of re-tracing a
+    # per-call closure (CLAUDE.md perf rule 3)
+    return model.apply(params, x)
+
+
 def rollout_forecast(model: LSTMForecaster, params, history, n_ahead: int):
     """Closed-loop autoregressive rollout (predictAndUpdateState semantics,
     test00:118-128): feed the history, then repeatedly feed back the
@@ -106,10 +115,9 @@ def rollout_forecast(model: LSTMForecaster, params, history, n_ahead: int):
     T = history.shape[0]
     buf = jnp.concatenate(
         [history, jnp.zeros((n_ahead,) + history.shape[1:], history.dtype)])
-    apply = jax.jit(model.apply)
     preds = []
     for t in range(n_ahead):
-        y = apply(params, buf)
+        y = _apply_model(model, params, buf)
         yt = y[T + t - 1, 0]
         preds.append(yt)
         buf = buf.at[T + t, 0].set(yt)
@@ -132,10 +140,9 @@ def rollout_forecast_exog(model: LSTMForecaster, params, history,
     H = future_exog.shape[0]
     buf = jnp.concatenate([history,
                            jnp.asarray(future_exog, history.dtype)])
-    apply = jax.jit(model.apply)
     preds = []
     for t in range(H):
-        y = apply(params, buf)
+        y = _apply_model(model, params, buf)
         yt = y[T + t - 1, 0]
         preds.append(yt)
         buf = buf.at[T + t, target_col].set(yt)

@@ -293,7 +293,14 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     u = u.astype(f32)
     x = x.astype(f32)
     Rv = Rv.astype(f32)
-    L_pad = -(-int(inv_monitor_len) // 8) * 8
+    if beta != 1.0 and int(inv_monitor_len) <= 0:
+        raise ValueError("adaptive R (beta != 1) needs inv_monitor_len > 0 "
+                         "(the R_hat window, GEKF.m:180-185)")
+    # adaptive-R windows live in VMEM scratch only when adaptive; a single
+    # placeholder row otherwise so the non-adaptive hot path keeps its full
+    # VMEM budget
+    mon_rows = (2 * (-(-int(inv_monitor_len) // 8) * 8) + 1
+                if beta != 1.0 else 1)
 
     fwd = pl.pallas_call(
         functools.partial(_fwd3_kernel, t_seg=t_seg,
@@ -335,7 +342,7 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
         ],
         scratch_shapes=[pltpu.VMEM((M3, BT), f32),
                         pltpu.VMEM((M3 * M3, BT), f32),
-                        pltpu.VMEM((2 * L_pad + 1, BT), f32)],
+                        pltpu.VMEM((mon_rows, BT), f32)],
         interpret=interpret,
     )
     S_MINUS, S_PLUS, P_MINUS, P_PLUS = fwd(

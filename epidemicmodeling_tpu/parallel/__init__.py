@@ -1,4 +1,5 @@
-from .mesh import make_mesh, shard_batch_arrays, sharded_train_prescribe_step
+from .mesh import (make_mesh, shard_batch_arrays, shard_region_batch,
+                   sharded_train_prescribe_step)
 
-__all__ = ["make_mesh", "shard_batch_arrays",
+__all__ = ["make_mesh", "shard_batch_arrays", "shard_region_batch",
            "sharded_train_prescribe_step"]

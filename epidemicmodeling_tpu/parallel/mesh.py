@@ -75,6 +75,21 @@ def shard_batch_arrays(mesh: Mesh, tree, axis: str = "dp",
     return jax.tree.map(put, tree)
 
 
+REGION_BATCH_SHARD_FIELDS = ("observations", "new_cases_norm",
+                             "confirmed_norm", "npis", "obs_noise_var",
+                             "population")
+
+
+def shard_region_batch(mesh: Mesh, batch, axis: str = "dp"):
+    """Shard a RegionBatch's region-major array fields over ``axis``
+    (single source of truth for which fields carry the leading region dim —
+    keep REGION_BATCH_SHARD_FIELDS in sync with data.preprocess.RegionBatch
+    so sharded and unsharded runs cannot silently diverge in placement)."""
+    return batch._replace(
+        **{k: shard_batch_arrays(mesh, getattr(batch, k), axis)
+           for k in REGION_BATCH_SHARD_FIELDS})
+
+
 def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
                                  horizon: int, n_npi: int = 12,
                                  dtype=None):
@@ -112,14 +127,8 @@ def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
     batch_full = build_region_batch(sers, names, horizon=horizon)
 
     # shard the region axis over dp
-    batch_train = batch_train._replace(
-        **{k: shard_batch_arrays(mesh, getattr(batch_train, k))
-           for k in ("observations", "new_cases_norm", "confirmed_norm",
-                     "npis", "obs_noise_var", "population")})
-    batch_full = batch_full._replace(
-        **{k: shard_batch_arrays(mesh, getattr(batch_full, k))
-           for k in ("observations", "new_cases_norm", "confirmed_norm",
-                     "npis", "obs_noise_var", "population")})
+    batch_train = shard_region_batch(mesh, batch_train)
+    batch_full = shard_region_batch(mesh, batch_full)
 
     npi_mins = np.zeros(n_npi)
     npi_maxes = NPI_MAXES_DEFAULT[:n_npi]

@@ -174,27 +174,27 @@ def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
 
     mesh: optional ("dp", "ep") device mesh — shards the region axis over
     dp and the epsilon sweep over ep (see train_predict_prescribe)."""
+    import contextlib
     if mesh is not None:
-        import contextlib
-        from ..parallel.mesh import shard_batch_arrays
+        from ..parallel.mesh import shard_batch_arrays, shard_region_batch
         R = len(batch_train.names)
         if R % mesh.shape["dp"]:
             raise ValueError(
                 f"{R} regions not divisible by mesh dp={mesh.shape['dp']}; "
                 "pad the geo list or pick a different mesh")
-        shard_fields = ("observations", "new_cases_norm", "confirmed_norm",
-                        "npis", "obs_noise_var", "population")
-        batch_train = batch_train._replace(
-            **{k: shard_batch_arrays(mesh, getattr(batch_train, k))
-               for k in shard_fields})
-        batch_full = batch_full._replace(
-            **{k: shard_batch_arrays(mesh, getattr(batch_full, k))
-               for k in shard_fields})
+        # the sweep pads epsilon to whole chunks of exactly cfg.pareto_chunk,
+        # and each chunk's epsilon axis is sharded over 'ep'
+        if cfg.pareto_chunk % mesh.shape["ep"]:
+            raise ValueError(
+                f"pareto_chunk={cfg.pareto_chunk} not divisible by mesh "
+                f"ep={mesh.shape['ep']}; pick a chunk size that is a "
+                "multiple of the ep axis")
+        batch_train = shard_region_batch(mesh, batch_train)
+        batch_full = shard_region_batch(mesh, batch_full)
         if actual_npis is not None:
             actual_npis = shard_batch_arrays(mesh, actual_npis)
         ctx = mesh
     else:
-        import contextlib
         ctx = contextlib.nullcontext()
     with ctx:
         return _run_pipeline_body(

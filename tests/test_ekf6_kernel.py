@@ -329,3 +329,17 @@ def test_ekf3_pallas_adaptive_R_matches_bl_core():
 
     assert scaled_err(sp, ref.s_plus) < 1e-4
     assert scaled_err(ssm, ref.s_smooth) < 1e-3
+
+
+def test_kernel_adaptive_requires_monitor_window():
+    """beta != 1 with inv_monitor_len <= 0 must raise (matching
+    ekf_smoother_bl) instead of silently dividing by a zero count."""
+    from epidemicmodeling_tpu.ops.pallas.ekf3_kernel import (
+        ekf3_pallas, pack_params3_for_kernel)
+
+    u, x, Rv, params, s_init, Ps_init, Q, s_final, Ps_final = build()
+    scal, vecs = pack_params_for_kernel(params, Q)
+    with pytest.raises(ValueError, match="inv_monitor_len"):
+        ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init.reshape(36, -1),
+                    s_final, Ps_final.reshape(36, -1), beta=0.9,
+                    inv_monitor_len=0, interpret=True)

@@ -117,3 +117,33 @@ def test_pipeline_mesh_rejects_indivisible_regions():
                      NPI_MAXES_DEFAULT, 70,
                      PipelineConfig(backend="lanes", pareto_chunk=4),
                      mesh=make_mesh(8))
+
+
+def test_pipeline_mesh_rejects_indivisible_pareto_chunk():
+    """pareto_chunk must divide the ep mesh axis — fail fast with a clear
+    message instead of a low-level device_put error mid-sweep."""
+    import pytest as _pytest
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        run_pipeline
+    from epidemicmodeling_tpu.control import epsilon_grid
+
+    _, _, truth = synthetic_oxford_frame(n_regions=4, n_days=80, seed=2)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:70], None,
+                                      tr["u"][:70], tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names)
+    bf = build_region_batch(sers, names, horizon=9)
+    mesh = make_mesh(8)   # ep = 2
+    with _pytest.raises(ValueError, match="pareto_chunk"):
+        run_pipeline(bt, bf, None, 70, np.ones(12),
+                     np.asarray(epsilon_grid(6)), np.zeros(12),
+                     NPI_MAXES_DEFAULT, 70,
+                     PipelineConfig(backend="lanes", pareto_chunk=3),
+                     mesh=mesh)
