@@ -1,0 +1,38 @@
+"""Smoke tests for the example drivers (the reference's testScripts are its
+user-facing surface — SURVEY.md §2 maps them to examples/; these keep the
+drivers from bit-rotting as the library evolves). Heavyweight drivers with
+their own CLI tests (xprize_prescribe, prescribe_from_checkpoint) and
+long-running ML comparisons are exercised elsewhere."""
+
+import sys
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_seirp_scenarios_example(capsys):
+    from seirp_scenarios import main
+    main()
+    out = capsys.readouterr().out
+    assert "rank" in out.lower() or "scenario" in out.lower()
+
+
+def test_rt_comparison_example(capsys):
+    from rt_comparison import main
+    main()
+    out = capsys.readouterr().out
+    assert out.strip()
+
+
+def test_direct_newcases_lstm_example_tiny():
+    from direct_newcases_lstm import main
+    mae, persist, losses = main(n_days=80, hidden=8, epochs=15, seed=0)
+    assert np.isfinite(mae) and np.isfinite(persist)
+    assert losses[-1] < losses[0]
+
+
+def test_spatial_sims_example():
+    from spatial_sims import main
+    main(video=None)
