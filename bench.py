@@ -37,6 +37,7 @@ def main():
 
     R_REGIONS = int(float(sys.argv[1])) if len(sys.argv) > 1 else 235
     E_PARETO = int(float(sys.argv[2])) if len(sys.argv) > 2 else 250
+    CHUNK = int(float(sys.argv[3])) if len(sys.argv) > 3 else 25
     T_HIST = 440
     HORIZON = 92
 
@@ -64,7 +65,7 @@ def main():
     batch_full = build_region_batch(sers, names, horizon=HORIZON)
     log(f"data built in {time.time()-t0:.1f}s")
 
-    cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=25,
+    cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=CHUNK,
                          smoother_gain="solve", backend="pallas",
                          # beyond ~2000 eps the (E, R, T) trajectory outputs
                          # alone exhaust HBM; keep costs + prescriptions
@@ -129,7 +130,7 @@ def main():
         # reports a number
         log(f"pallas backend failed ({type(e).__name__}: {e}); "
             "falling back to lanes backend")
-        cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=25,
+        cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=CHUNK,
                              smoother_gain="solve", backend="lanes",
                              pareto_store_trajectories=(E_PARETO * R_REGIONS
                                                         <= 500_000))

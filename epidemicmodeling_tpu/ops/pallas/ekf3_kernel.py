@@ -293,6 +293,13 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     u = u.astype(f32)
     x = x.astype(f32)
     Rv = Rv.astype(f32)
+    # f32 kernels: cast every operand (see ekf6_pallas)
+    scal = jnp.asarray(scal, f32)
+    vecs = jnp.asarray(vecs, f32)
+    s_init = jnp.asarray(s_init, f32)
+    Ps_init = jnp.asarray(Ps_init, f32)
+    s_final = jnp.asarray(s_final, f32)
+    Ps_final = jnp.asarray(Ps_final, f32)
     if beta != 1.0 and int(inv_monitor_len) <= 0:
         raise ValueError("adaptive R (beta != 1) needs inv_monitor_len > 0 "
                          "(the R_hat window, GEKF.m:180-185)")

@@ -424,6 +424,14 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     u = u.astype(f32)
     x = x.astype(f32)
     Rv = Rv.astype(f32)
+    # the kernels are f32 by design: cast every operand so x64 callers
+    # don't trip f64-into-f32-ref errors inside the kernel
+    scal = jnp.asarray(scal, f32)
+    vecs = jnp.asarray(vecs, f32)
+    s_init = jnp.asarray(s_init, f32)
+    Ps_init = jnp.asarray(Ps_init, f32)
+    s_final = jnp.asarray(s_final, f32)
+    Ps_final = jnp.asarray(Ps_final, f32)
     if beta != 1.0 and int(inv_monitor_len) <= 0:
         raise ValueError("adaptive R (beta != 1) needs inv_monitor_len > 0 "
                          "(the R_hat window, GEKF.m:180-185)")

@@ -85,6 +85,109 @@ def forecast_quality_assessment(batch, npi_mins, npi_maxes,
     starts = jnp.arange(1, S + 1)          # holdout lengths (days masked)
     t_idx = jnp.arange(T)
 
+    if cfg.backend in ("lanes", "pallas") and cfg.order == 1:
+        # TPU fast path: every (region, start) pair is an independent lane
+        # of the batch-last core — B = R*S filters in one scan instead of a
+        # lane-major vmap nest (which pays the 28x covariance-padding tax
+        # and compiles a separate program per nest level)
+        err_plus, err_smooth = _run_all_lanes(
+            cfg, obs_full, npis_full, params, init, R_v, truth_cases, pop,
+            R, S, T, H, fdtype)
+    else:
+        err_plus, err_smooth = _run_all_vmap(
+            cfg, system, obs_full, npis_full, params, init, R_v,
+            truth_cases, pop, starts, t_idx, T, H)
+
+    # aggregate over start days with a full look-ahead window
+    # (the reference averages over rows MaxLookAheadDays..end, :423-429)
+    sel = slice(H - 1, None) if S >= H else slice(0, None)
+    mean_sm = jnp.mean(err_smooth[:, sel, :], axis=1)
+    med_sm = jnp.median(err_smooth[:, sel, :], axis=1)
+    return BacktestResult(err_plus, err_smooth, mean_sm, med_sm,
+                          train_out.trained)
+
+
+def _errors_from_states(s_plus, s_smooth, truth_r, pop_r, start, T, H):
+    """Percent-error curves at horizons 1..H for one lane.
+    s_plus/s_smooth: (T, 3); truth_r: (T,)."""
+    est_plus = s_plus[:, 0] * s_plus[:, 1] * s_plus[:, 2] * pop_r
+    est_smooth = s_smooth[:, 0] * s_smooth[:, 1] * s_smooth[:, 2] * pop_r
+    err_plus = 100.0 * jnp.abs(truth_r - est_plus) / truth_r
+    err_smooth = 100.0 * jnp.abs(truth_r - est_smooth) / truth_r
+    # horizon h (1-based) maps to absolute day T - start + h - 1
+    days = T - start + jnp.arange(H)
+    valid = days < T
+    days_c = jnp.clip(days, 0, T - 1)
+    return (jnp.where(valid, err_plus[days_c], 0.0),
+            jnp.where(valid, err_smooth[days_c], 0.0))
+
+
+def _run_all_lanes(cfg, obs_full, npis_full, params, init, R_v, truth_cases,
+                   pop, R, S, T, H, fdtype):
+    from ..models.batch_last import si_alpha_ekf_system_bl
+    from ..ops.ekf_bl import ekf_smoother_bl
+
+    B = R * S
+    t_idx = jnp.arange(T)
+    starts = jnp.arange(1, S + 1)
+    use_pallas = (cfg.backend == "pallas"
+                  and cfg.observation_type in ("NEWCASES", "TOTALCASES"))
+    interp = jax.default_backend() not in ("tpu", "axon")
+
+    @jax.jit
+    def run():
+        # (R, S, T) masked observations -> lanes-last (T, B)
+        obs_m = jnp.where(t_idx[None, None, :] >= T - starts[None, :, None],
+                          jnp.nan, obs_full[:, None, :])
+        obs_bl = obs_m.reshape(B, T).T
+        tile = lambda a: jnp.repeat(jnp.moveaxis(jnp.asarray(a, fdtype),
+                                                 0, -1), S, axis=-1)
+        u_bl = tile(npis_full)                      # (T, P, B)
+        params_bl = {k: tile(v) for k, v in params.items()}
+        if use_pallas:
+            from ..ops.pallas.ekf3_kernel import (ekf3_pallas,
+                                                  pack_params3_for_kernel)
+            pad = (-B) % (512 if B >= 2048 else 128)
+            padl = lambda a: (a if pad == 0 else jnp.concatenate(
+                [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
+            scal, vecs = pack_params3_for_kernel(
+                {k: padl(v) for k, v in params_bl.items()},
+                padl(tile(init.Q)))
+            f32 = jnp.float32
+            ssm_p, sp_p, _ = ekf3_pallas(
+                padl(u_bl), padl(obs_bl), padl(tile(R_v)), scal, vecs,
+                padl(tile(init.s_init)).astype(f32),
+                padl(tile(init.Ps_init)).reshape(9, B + pad).astype(f32),
+                jnp.full((3, B + pad), jnp.nan, f32),
+                jnp.full((9, B + pad), jnp.nan, f32),
+                gamma_discount=float(cfg.gamma_ekf), interpret=interp,
+                obs_type=cfg.observation_type)
+            sp_bl = sp_p[..., :B].astype(fdtype)
+            ss_bl = ssm_p[..., :B].astype(fdtype)
+        else:
+            res = ekf_smoother_bl(
+                si_alpha_ekf_system_bl(cfg.observation_type), u_bl, obs_bl,
+                params_bl, tile(init.s_init), tile(init.Ps_init),
+                Q=tile(init.Q), R=tile(R_v), gamma_discount=cfg.gamma_ekf,
+                joseph=True, unroll=cfg.scan_unroll)
+            sp_bl, ss_bl = res.s_plus, res.s_smooth
+        # back to (R, S, T, 3) and score per lane
+        sp = jnp.moveaxis(sp_bl, -1, 0).reshape(R, S, T, 3)
+        ss = jnp.moveaxis(ss_bl, -1, 0).reshape(R, S, T, 3)
+
+        def per_region(sp_r, ss_r, truth_r, pop_r):
+            return jax.vmap(
+                lambda sp_s, ss_s, st: _errors_from_states(
+                    sp_s, ss_s, truth_r, pop_r, st, T, H)
+            )(sp_r, ss_r, starts)
+
+        return jax.vmap(per_region)(sp, ss, truth_cases, pop)
+
+    return run()
+
+
+def _run_all_vmap(cfg, system, obs_full, npis_full, params, init, R_v,
+                  truth_cases, pop, starts, t_idx, T, H):
     @jax.jit
     def run_all():
         def per_region(obs_r, npis_r, p_r, si, Pi, Q_r, Rv_r, truth_r):
@@ -120,12 +223,4 @@ def forecast_quality_assessment(batch, npi_mins, npi_maxes,
             obs_full, npis_full, params_r, init.s_init, init.Ps_init,
             init.Q, R_v, truth_cases)
 
-    err_plus, err_smooth = run_all()     # (R, S, H)
-
-    # aggregate over start days with a full look-ahead window
-    # (the reference averages over rows MaxLookAheadDays..end, :423-429)
-    sel = slice(H - 1, None) if S >= H else slice(0, None)
-    mean_sm = jnp.mean(err_smooth[:, sel, :], axis=1)
-    med_sm = jnp.median(err_smooth[:, sel, :], axis=1)
-    return BacktestResult(err_plus, err_smooth, mean_sm, med_sm,
-                          train_out.trained)
+    return run_all()     # (R, S, H) x2

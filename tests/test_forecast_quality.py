@@ -43,3 +43,44 @@ def test_error_grows_with_horizon(backtest_result):
     assert np.all(med[:, 0] <= med[:, -1] + 1e-6)
     # day-1 smoothed estimates on clean synthetic data are accurate
     assert np.all(med[:, 0] < 20.0)
+
+
+def test_backtest_lanes_backend_matches_vmap(backtest_result):
+    """The batch-last fast path ((region, start) lanes in one scan) must
+    reproduce the generic vmapped backtest."""
+    import numpy as np
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.forecast_quality import \
+        forecast_quality_assessment
+
+    _, _, truth = synthetic_oxford_frame(n_regions=2, n_days=140, seed=4)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc), None, tr["u"],
+                                      tr["pop"]))
+        names.append(name)
+    batch = build_region_batch(sers, names)
+    kw = dict(npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
+              num_regression_days=120, num_forecast_days=8,
+              max_look_ahead_days=6)
+    ref = forecast_quality_assessment(
+        batch, cfg=PipelineConfig(backend="vmap", smoother_gain="solve"),
+        **kw)
+    for backend, tol in [("lanes", 1e-7), ("pallas", 2e-2)]:
+        # pallas runs f32 (interpret on CPU); errors are in percent units
+        fast = forecast_quality_assessment(
+            batch, cfg=PipelineConfig(backend=backend,
+                                      smoother_gain="solve"), **kw)
+        np.testing.assert_allclose(np.asarray(fast.est_error_smooth),
+                                   np.asarray(ref.est_error_smooth),
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(fast.est_error_plus),
+                                   np.asarray(ref.est_error_plus),
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(fast.mean_error_smooth),
+                                   np.asarray(ref.mean_error_smooth),
+                                   rtol=tol, atol=tol)
