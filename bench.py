@@ -29,11 +29,11 @@ def main():
 
     # persistent compilation cache: cold runs after the first process are
     # compile-free (the cache key includes the backend, so TPU and CPU
-    # entries coexist)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # entries coexist); machine-fingerprint-keyed directory because stale
+    # cross-host XLA:CPU AOT entries segfault on load (utils/jax_cache.py)
+    from epidemicmodeling_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache(
+        jax, os.path.dirname(os.path.abspath(__file__)))
 
     R_REGIONS = int(float(sys.argv[1])) if len(sys.argv) > 1 else 235
     E_PARETO = int(float(sys.argv[2])) if len(sys.argv) > 2 else 250

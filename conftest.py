@@ -30,8 +30,8 @@ if os.environ.get("EPI_TEST_TPU") != "1":
 
 # Persistent XLA compilation cache: the suite is compile-dominated (fused
 # interpret-mode kernels, multi-device pjit), so warm-cache reruns are much
-# faster. Safe to delete .jax_cache/ at any time.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# faster. The directory is keyed by a CPU fingerprint because container
+# migration across hosts made stale XLA:CPU AOT entries segfault on load
+# (utils/jax_cache.py). Safe to delete .jax_cache-*/ at any time.
+from epidemicmodeling_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache(jax, os.path.dirname(__file__))

@@ -34,7 +34,8 @@ def main():
     res = forecast_quality_assessment(
         batch, np.zeros(12), NPI_MAXES_DEFAULT,
         num_regression_days=n_days - 90, num_forecast_days=90,
-        max_look_ahead_days=60, cfg=PipelineConfig(smoother_gain="solve"))
+        max_look_ahead_days=60,
+        cfg=PipelineConfig(smoother_gain="solve", backend="lanes"))
 
     med = np.asarray(res.median_error_smooth)   # (R, 60)
     print("median % error vs look-ahead horizon (per region):")
