@@ -196,3 +196,26 @@ def test_animation_writers_produce_playable_files(tmp_path):
                         bounds=(-5, 5, -5, 5))
     im2 = Image.open(p2)
     assert getattr(im2, "n_frames", 1) == 10
+
+
+def test_tiled_stencil_matches_xla_step():
+    """Row-tiled halo kernel (large-grid variant) vs the XLA stencil, both
+    discretizations, non-multiple-of-panel sizes."""
+    import jax.numpy as jnp
+    from epidemicmodeling_tpu.ops.pallas.stencil import diffusion_step_pallas
+    from epidemicmodeling_tpu.spatial.diffusion import (diffusion_step_4,
+                                                       diffusion_step_8)
+    rng = np.random.default_rng(0)
+    D, dt, dx, dy = 1e-1, 0.01, 0.1, 0.1
+    ax, ay = D * dt / dx ** 2, D * dt / dy ** 2
+    axy = D * dt / (dx ** 2 + dy ** 2)
+    for shape in [(51, 51), (129, 131)]:
+        C = jnp.asarray(rng.random(shape), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(diffusion_step_pallas(C, ax, ay, axy,
+                                             force_tiled=True)),
+            np.asarray(diffusion_step_8(C, D, dt, dx, dy)), atol=3e-7)
+        np.testing.assert_allclose(
+            np.asarray(diffusion_step_pallas(C, ax, ay, 0.0,
+                                             force_tiled=True)),
+            np.asarray(diffusion_step_4(C, D, dt, dx, dy)), atol=3e-7)
