@@ -36,3 +36,17 @@ def test_direct_newcases_lstm_example_tiny():
 def test_spatial_sims_example():
     from spatial_sims import main
     main(video=None)
+
+
+def test_lstm_forecast_example(capsys):
+    from lstm_forecast import main
+    main()
+    out = capsys.readouterr().out
+    assert "MAPE" in out
+
+
+def test_make_figures_example(tmp_path):
+    from make_figures import main
+    main(outdir=str(tmp_path))
+    pngs = list(tmp_path.glob("*.png"))
+    assert pngs, "make_figures wrote no figures"
