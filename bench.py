@@ -130,10 +130,8 @@ def main():
         # reports a number
         log(f"pallas backend failed ({type(e).__name__}: {e}); "
             "falling back to lanes backend")
-        cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=CHUNK,
-                             smoother_gain="solve", backend="lanes",
-                             pareto_store_trajectories=(E_PARETO * R_REGIONS
-                                                        <= 500_000))
+        import dataclasses
+        cfg = dataclasses.replace(cfg, backend="lanes")
         t1 = time.time()
         front = run_once(cfg)
     cold = time.time() - t1

@@ -199,20 +199,9 @@ def _run_all_vmap(cfg, system, obs_full, npis_full, params, init, R_v,
                     gamma_discount=cfg.gamma_ekf,
                     inv_monitor_len=cfg.inv_monitor_len, order=cfg.order,
                     smoother_gain=cfg.smoother_gain, outputs="light")
-                est_plus = (res.s_plus[:, 0] * res.s_plus[:, 1]
-                            * res.s_plus[:, 2]) * jnp.squeeze(
-                                jnp.atleast_1d(pop_r))
-                est_smooth = (res.s_smooth[:, 0] * res.s_smooth[:, 1]
-                              * res.s_smooth[:, 2]) * jnp.squeeze(
-                                  jnp.atleast_1d(pop_r))
-                err_plus = 100.0 * jnp.abs(truth_r - est_plus) / truth_r
-                err_smooth = 100.0 * jnp.abs(truth_r - est_smooth) / truth_r
-                # horizon h (1-based) maps to absolute day T - start + h - 1
-                days = T - start + jnp.arange(H)
-                valid = days < T
-                days_c = jnp.clip(days, 0, T - 1)
-                return (jnp.where(valid, err_plus[days_c], 0.0),
-                        jnp.where(valid, err_smooth[days_c], 0.0))
+                return _errors_from_states(res.s_plus[:, :3],
+                                           res.s_smooth[:, :3], truth_r,
+                                           pop_r, start, T, H)
 
             pop_r = jnp.squeeze(p_r.pop("population"))
             return jax.vmap(per_start)(starts)

@@ -89,17 +89,11 @@ def main(argv=None) -> int:
 
     import jax
     if args.cpu_devices:
-        import os as _os
-        prev = _os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in prev:
-            _os.environ["XLA_FLAGS"] = (
-                prev + f" --xla_force_host_platform_device_count="
-                f"{args.cpu_devices}").strip()
-        jax.config.update("jax_platforms", "cpu")
-        try:
-            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
-        except Exception:
-            pass
+        from ..utils.platform import force_cpu_devices
+        if not force_cpu_devices(args.cpu_devices):
+            raise SystemExit(
+                f"--cpu-devices {args.cpu_devices}: could not force the "
+                "CPU platform (backend already initialized?)")
     import jax.numpy as jnp
     from ..control import epsilon_grid
     from ..data import NPI_MAXES_DEFAULT, OXFORD_NPI_COLUMNS
