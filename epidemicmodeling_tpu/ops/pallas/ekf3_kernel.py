@@ -452,3 +452,38 @@ def pack_params3_for_kernel(params_bl, Q_bl, dtype=jnp.float32):
     bc12 = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (NPI, B))
     vecs = jnp.stack([bc12(params_bl["a"]), bc12(params_bl["u_max"])])
     return scal, vecs
+
+
+def ekf3_pallas_lanes(u_bl, x_bl, Rv_bl, params_bl, Q_bl, s_init_bl,
+                      Ps_init_bl, s_final_bl=None, Ps_final_bl=None,
+                      gamma_discount=0.995, obs_type="NEWCASES",
+                      interpret=False):
+    """Lane-padding + param-packing glue around ``ekf3_pallas`` shared by
+    the pipeline callers (pipelines/core._run_ekf3_pallas and the backtest
+    fast path): pads the lane axis to the kernel tile (wide 512 tiles for
+    large batches, 128 otherwise), packs the batch-last params, runs the
+    fused kernel, and slices the pad back off.
+
+    All arrays are batch-last (lane axis LAST). s_final/Ps_final None =>
+    unconstrained (NaN). Returns (S_SMOOTH, S_PLUS, S_MINUS), each
+    (T, 3, B).
+    """
+    B = x_bl.shape[-1]
+    pad = (-B) % (512 if B >= 2048 else 128)
+    padl = lambda a: (a if pad == 0 else jnp.concatenate(
+        [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
+    f32 = jnp.float32
+    s_final_p = (jnp.full((3, B + pad), jnp.nan, f32)
+                 if s_final_bl is None else padl(s_final_bl))
+    Ps_final_p = (jnp.full((9, B + pad), jnp.nan, f32)
+                  if Ps_final_bl is None
+                  else padl(Ps_final_bl).reshape(9, B + pad))
+    params_p = {k: padl(v) for k, v in params_bl.items()}
+    scal, vecs = pack_params3_for_kernel(params_p, padl(Q_bl))
+    ssm, sp, sm = ekf3_pallas(
+        padl(u_bl), padl(x_bl), padl(Rv_bl), scal, vecs,
+        padl(s_init_bl), padl(Ps_init_bl).reshape(9, B + pad),
+        s_final_p, Ps_final_p,
+        gamma_discount=float(gamma_discount), interpret=interpret,
+        obs_type=obs_type)
+    return ssm[..., :B], sp[..., :B], sm[..., :B]

@@ -74,7 +74,14 @@ class PipelineConfig:
     stochastic_forecast: bool = False       # inject rollout process noise
     smoother_gain: str = "pinv"             # "pinv" (MATLAB parity) |
                                             # "solve" (TPU fast path; avoids
-                                            # per-step batched SVD)
+                                            # per-step batched SVD).
+                                            # Applies to the generic "vmap"
+                                            # backend only: the lanes/pallas
+                                            # fast paths ALWAYS use the
+                                            # Cholesky solve gain (their
+                                            # defining numerics; parity
+                                            # tests pin them against the
+                                            # generic core under "solve")
     backend: str = "vmap"                   # "vmap" (generic core) | "lanes"
                                             # (batch-last XLA fast path) |
                                             # "pallas" (fused kernels;

@@ -171,32 +171,22 @@ def _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf):
     """3-state EKF/EKS via the fused Pallas kernel (ops/pallas/ekf3_kernel).
     Lane axis = regions, padded to a multiple of 128; rho recomputed
     post-hoc from the stored priors."""
-    from ..ops.pallas.ekf3_kernel import (ekf3_pallas, rho_from_priors,
-                                          pack_params3_for_kernel)
+    from ..ops.pallas.ekf3_kernel import ekf3_pallas_lanes, rho_from_priors
     from ..ops.ekf import EKFResult
-    R = x.shape[0]
     fdt = x.dtype
-    pad = (-R) % 128
     bl = lambda a: jnp.moveaxis(jnp.asarray(a, fdt), 0, -1)
-    padl = lambda a: (a if pad == 0 else jnp.concatenate(
-        [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
-    blp = lambda a: padl(bl(a))
-
-    params_bl = {k: blp(v) for k, v in params.items()}
-    scal, vecs = pack_params3_for_kernel(params_bl, blp(init.Q))
     interp = jax.default_backend() not in ("tpu", "axon")
-    x_bl = padl(jnp.asarray(x, fdt)[..., 0].T)
-    Rv_bl = padl(jnp.asarray(R_v, fdt).T)
-    ssm, sp, sm = ekf3_pallas(
-        blp(u), x_bl, Rv_bl, scal, vecs, blp(init.s_init),
-        blp(init.Ps_init).reshape(9, R + pad), blp(sf),
-        blp(Pf).reshape(9, R + pad),
-        gamma_discount=float(cfg.gamma_ekf), interpret=interp,
-        obs_type=cfg.observation_type)
+    x_bl = jnp.asarray(x, fdt)[..., 0].T
+    Rv_bl = jnp.asarray(R_v, fdt).T
+    ssm, sp, sm = ekf3_pallas_lanes(
+        bl(u), x_bl, Rv_bl, {k: bl(v) for k, v in params.items()},
+        bl(init.Q), bl(init.s_init), bl(init.Ps_init), bl(sf), bl(Pf),
+        gamma_discount=cfg.gamma_ekf, obs_type=cfg.observation_type,
+        interpret=interp)
     rho = rho_from_priors(sm, x_bl, Rv_bl, cfg.inv_monitor_len,
                           obs_type=cfg.observation_type)
 
-    unbl = lambda a: jnp.moveaxis(a[..., :R], -1, 0).astype(fdt)
+    unbl = lambda a: jnp.moveaxis(a, -1, 0).astype(fdt)
     # 3-state systems return the input unchanged as u_opt; the smoother's
     # re-run leaves the last sample unwritten (zeros) like the reference
     u_opt_smooth = jnp.asarray(u, fdt).at[:, -1, :].set(0.0)

@@ -17,6 +17,7 @@ fused kernel.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -85,18 +86,21 @@ def forecast_quality_assessment(batch, npi_mins, npi_maxes,
     starts = jnp.arange(1, S + 1)          # holdout lengths (days masked)
     t_idx = jnp.arange(T)
 
+    interp = jax.default_backend() not in ("tpu", "axon")
     if cfg.backend in ("lanes", "pallas") and cfg.order == 1:
         # TPU fast path: every (region, start) pair is an independent lane
         # of the batch-last core — B = R*S filters in one scan instead of a
         # lane-major vmap nest (which pays the 28x covariance-padding tax
-        # and compiles a separate program per nest level)
+        # and compiles a separate program per nest level). NOTE the fast
+        # paths always use the Cholesky solve smoother gain (their defining
+        # numerics); cfg.smoother_gain applies to the vmap backend only.
         err_plus, err_smooth = _run_all_lanes(
-            cfg, obs_full, npis_full, params, init, R_v, truth_cases, pop,
-            R, S, T, H, fdtype)
+            obs_full, npis_full, params, init.s_init, init.Ps_init, init.Q,
+            R_v, truth_cases, pop, cfg=cfg, S=S, H=H, interp=interp)
     else:
         err_plus, err_smooth = _run_all_vmap(
-            cfg, system, obs_full, npis_full, params, init, R_v,
-            truth_cases, pop, starts, t_idx, T, H)
+            obs_full, npis_full, params, init.s_init, init.Ps_init, init.Q,
+            R_v, truth_cases, pop, cfg=cfg, H=H, S=S)
 
     # aggregate over start days with a full look-ahead window
     # (the reference averages over rows MaxLookAheadDays..end, :423-429)
@@ -122,94 +126,88 @@ def _errors_from_states(s_plus, s_smooth, truth_r, pop_r, start, T, H):
             jnp.where(valid, err_smooth[days_c], 0.0))
 
 
-def _run_all_lanes(cfg, obs_full, npis_full, params, init, R_v, truth_cases,
-                   pop, R, S, T, H, fdtype):
+@functools.partial(jax.jit, static_argnames=("cfg", "S", "H", "interp"))
+def _run_all_lanes(obs_full, npis_full, params, s_init, Ps_init, Q, R_v,
+                   truth_cases, pop, *, cfg, S, H, interp):
+    """Module-level jitted fast path (a per-call jitted closure silently
+    recompiles every invocation — CLAUDE.md perf rule 3)."""
     from ..models.batch_last import si_alpha_ekf_system_bl
     from ..ops.ekf_bl import ekf_smoother_bl
 
+    R, T = obs_full.shape
+    fdtype = obs_full.dtype
     B = R * S
     t_idx = jnp.arange(T)
     starts = jnp.arange(1, S + 1)
     use_pallas = (cfg.backend == "pallas"
                   and cfg.observation_type in ("NEWCASES", "TOTALCASES"))
-    interp = jax.default_backend() not in ("tpu", "axon")
 
-    @jax.jit
-    def run():
-        # (R, S, T) masked observations -> lanes-last (T, B)
-        obs_m = jnp.where(t_idx[None, None, :] >= T - starts[None, :, None],
-                          jnp.nan, obs_full[:, None, :])
-        obs_bl = obs_m.reshape(B, T).T
-        tile = lambda a: jnp.repeat(jnp.moveaxis(jnp.asarray(a, fdtype),
-                                                 0, -1), S, axis=-1)
-        u_bl = tile(npis_full)                      # (T, P, B)
-        params_bl = {k: tile(v) for k, v in params.items()}
-        if use_pallas:
-            from ..ops.pallas.ekf3_kernel import (ekf3_pallas,
-                                                  pack_params3_for_kernel)
-            pad = (-B) % (512 if B >= 2048 else 128)
-            padl = lambda a: (a if pad == 0 else jnp.concatenate(
-                [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
-            scal, vecs = pack_params3_for_kernel(
-                {k: padl(v) for k, v in params_bl.items()},
-                padl(tile(init.Q)))
-            f32 = jnp.float32
-            ssm_p, sp_p, _ = ekf3_pallas(
-                padl(u_bl), padl(obs_bl), padl(tile(R_v)), scal, vecs,
-                padl(tile(init.s_init)).astype(f32),
-                padl(tile(init.Ps_init)).reshape(9, B + pad).astype(f32),
-                jnp.full((3, B + pad), jnp.nan, f32),
-                jnp.full((9, B + pad), jnp.nan, f32),
-                gamma_discount=float(cfg.gamma_ekf), interpret=interp,
-                obs_type=cfg.observation_type)
-            sp_bl = sp_p[..., :B].astype(fdtype)
-            ss_bl = ssm_p[..., :B].astype(fdtype)
-        else:
-            res = ekf_smoother_bl(
-                si_alpha_ekf_system_bl(cfg.observation_type), u_bl, obs_bl,
-                params_bl, tile(init.s_init), tile(init.Ps_init),
-                Q=tile(init.Q), R=tile(R_v), gamma_discount=cfg.gamma_ekf,
-                joseph=True, unroll=cfg.scan_unroll)
-            sp_bl, ss_bl = res.s_plus, res.s_smooth
-        # back to (R, S, T, 3) and score per lane
-        sp = jnp.moveaxis(sp_bl, -1, 0).reshape(R, S, T, 3)
-        ss = jnp.moveaxis(ss_bl, -1, 0).reshape(R, S, T, 3)
+    # (R, S, T) masked observations -> lanes-last (T, B)
+    obs_m = jnp.where(t_idx[None, None, :] >= T - starts[None, :, None],
+                      jnp.nan, obs_full[:, None, :])
+    obs_bl = obs_m.reshape(B, T).T
+    tile = lambda a: jnp.repeat(jnp.moveaxis(jnp.asarray(a, fdtype),
+                                             0, -1), S, axis=-1)
+    u_bl = tile(npis_full)                      # (T, P, B)
+    params_bl = {k: tile(v) for k, v in params.items()}
+    if use_pallas:
+        from ..ops.pallas.ekf3_kernel import ekf3_pallas_lanes
+        f32 = jnp.float32
+        ssm_p, sp_p, _ = ekf3_pallas_lanes(
+            u_bl, obs_bl, tile(R_v), params_bl, tile(Q),
+            tile(s_init).astype(f32), tile(Ps_init).astype(f32),
+            gamma_discount=cfg.gamma_ekf, obs_type=cfg.observation_type,
+            interpret=interp)
+        sp_bl = sp_p.astype(fdtype)
+        ss_bl = ssm_p.astype(fdtype)
+    else:
+        res = ekf_smoother_bl(
+            si_alpha_ekf_system_bl(cfg.observation_type), u_bl, obs_bl,
+            params_bl, tile(s_init), tile(Ps_init),
+            Q=tile(Q), R=tile(R_v), gamma_discount=cfg.gamma_ekf,
+            joseph=True, unroll=cfg.scan_unroll)
+        sp_bl, ss_bl = res.s_plus, res.s_smooth
+    # back to (R, S, T, 3) and score per lane
+    sp = jnp.moveaxis(sp_bl, -1, 0).reshape(R, S, T, 3)
+    ss = jnp.moveaxis(ss_bl, -1, 0).reshape(R, S, T, 3)
 
-        def per_region(sp_r, ss_r, truth_r, pop_r):
-            return jax.vmap(
-                lambda sp_s, ss_s, st: _errors_from_states(
-                    sp_s, ss_s, truth_r, pop_r, st, T, H)
-            )(sp_r, ss_r, starts)
+    def per_region(sp_r, ss_r, truth_r, pop_r):
+        return jax.vmap(
+            lambda sp_s, ss_s, st: _errors_from_states(
+                sp_s, ss_s, truth_r, pop_r, st, T, H)
+        )(sp_r, ss_r, starts)
 
-        return jax.vmap(per_region)(sp, ss, truth_cases, pop)
-
-    return run()
+    return jax.vmap(per_region)(sp, ss, truth_cases, pop)
 
 
-def _run_all_vmap(cfg, system, obs_full, npis_full, params, init, R_v,
-                  truth_cases, pop, starts, t_idx, T, H):
-    @jax.jit
-    def run_all():
-        def per_region(obs_r, npis_r, p_r, si, Pi, Q_r, Rv_r, truth_r):
-            def per_start(start):
-                obs_masked = jnp.where(t_idx >= T - start, jnp.nan, obs_r)
-                res = ekf_smoother(
-                    system, npis_r, obs_masked[:, None], p_r, si, Pi,
-                    Q=Q_r, R=Rv_r, beta=cfg.beta_ekf,
-                    gamma_discount=cfg.gamma_ekf,
-                    inv_monitor_len=cfg.inv_monitor_len, order=cfg.order,
-                    smoother_gain=cfg.smoother_gain, outputs="light")
-                return _errors_from_states(res.s_plus[:, :3],
-                                           res.s_smooth[:, :3], truth_r,
-                                           pop_r, start, T, H)
+@functools.partial(jax.jit, static_argnames=("cfg", "S", "H"))
+def _run_all_vmap(obs_full, npis_full, params, s_init, Ps_init, Q, R_v,
+                  truth_cases, pop, *, cfg, S, H):
+    """Module-level jitted generic path (same jit-caching rationale as
+    _run_all_lanes); the system is rebuilt from the static cfg."""
+    T = obs_full.shape[1]
+    t_idx = jnp.arange(T)
+    starts = jnp.arange(1, S + 1)
+    system = si_alpha_ekf_system(cfg.observation_type)
 
-            pop_r = jnp.squeeze(p_r.pop("population"))
-            return jax.vmap(per_start)(starts)
+    def per_region(obs_r, npis_r, p_r, si, Pi, Q_r, Rv_r, truth_r):
+        def per_start(start):
+            obs_masked = jnp.where(t_idx >= T - start, jnp.nan, obs_r)
+            res = ekf_smoother(
+                system, npis_r, obs_masked[:, None], p_r, si, Pi,
+                Q=Q_r, R=Rv_r, beta=cfg.beta_ekf,
+                gamma_discount=cfg.gamma_ekf,
+                inv_monitor_len=cfg.inv_monitor_len, order=cfg.order,
+                smoother_gain=cfg.smoother_gain, outputs="light")
+            return _errors_from_states(res.s_plus[:, :3],
+                                       res.s_smooth[:, :3], truth_r,
+                                       pop_r, start, T, H)
 
-        params_r = dict(params)
-        params_r["population"] = pop
-        return jax.vmap(per_region)(
-            obs_full, npis_full, params_r, init.s_init, init.Ps_init,
-            init.Q, R_v, truth_cases)
+        pop_r = jnp.squeeze(p_r.pop("population"))
+        return jax.vmap(per_start)(starts)
 
-    return run_all()     # (R, S, H) x2
+    params_r = dict(params)
+    params_r["population"] = pop
+    return jax.vmap(per_region)(
+        obs_full, npis_full, params_r, s_init, Ps_init, Q, R_v,
+        truth_cases)

@@ -45,7 +45,7 @@ def test_error_grows_with_horizon(backtest_result):
     assert np.all(med[:, 0] < 20.0)
 
 
-def test_backtest_lanes_backend_matches_vmap(backtest_result):
+def test_backtest_lanes_backend_matches_vmap():
     """The batch-last fast path ((region, start) lanes in one scan) must
     reproduce the generic vmapped backtest."""
     import numpy as np

@@ -206,7 +206,8 @@ def test_tiled_stencil_matches_xla_step():
     from epidemicmodeling_tpu.spatial.diffusion import (diffusion_step_4,
                                                        diffusion_step_8)
     rng = np.random.default_rng(0)
-    D, dt, dx, dy = 1e-1, 0.01, 0.1, 0.1
+    # dx != dy so an ax/ay axis swap in the kernel cannot cancel out
+    D, dt, dx, dy = 1e-1, 0.004, 0.1, 0.14
     ax, ay = D * dt / dx ** 2, D * dt / dy ** 2
     axy = D * dt / (dx ** 2 + dy ** 2)
     for shape in [(51, 51), (129, 131)]:
