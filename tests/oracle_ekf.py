@@ -405,3 +405,149 @@ def rt_expfit_handles(time_scale, alpha, sigma):
         "StateHessianTerms": state_hessian_terms,
         "ObsHessianTerms": obs_hessian_terms,
     }
+
+
+# ---- oracle: time-reversed (backward) systems + flip protocol ----
+# Tools/SIAlphaModelBackwardEKF.m / SIAlphaModelBackwardEKFOptControlled.m:
+# flip u, x in time, swap the init/final conditions, run the generic EKF
+# with sign-flipped dynamics, flip the results back (:14-40).
+
+def si_alpha_backward_handles(obs_type="NEWCASES"):
+    """Flipped 3-state handles (SIAlphaModelBackwardEKF.m:48-110)."""
+    fwd = si_alpha_handles(obs_type)
+
+    def state_hard_margins(s_k, params, k):
+        out = np.array(s_k, float)
+        out[0] = min(1.0, max(0.0, out[0]))
+        out[1] = min(1.0, max(0.0, out[1]))
+        out[2] = min(params["alpha_max"], max(params["alpha_min"], out[2]))
+        return out
+
+    def nlin_state_update(u, s_k, w_bar, params, k):
+        dt = params["dt"]
+        out = np.zeros(3)
+        out[0] = max(0.0, min(1.0, s_k[0] + dt * s_k[2] * s_k[0] * s_k[1]))
+        out[1] = max(0.0, min(1.0, s_k[1] - dt * (
+            s_k[2] * s_k[0] * s_k[1] - params["beta"] * s_k[1])))
+        out[2] = max(params["alpha_min"], min(params["alpha_max"],
+                     s_k[2] - dt * (
+            -params["gamma"] * s_k[2] + params["gamma"] * params["b"]
+            + params["gamma"] * np.dot(params["a"], params["u_max"] - u))))
+        return u, out
+
+    def state_jacobians(u, s_k, w_bar, params, k):
+        dt = params["dt"]
+        A = np.zeros((3, 3))
+        A[0, 0] = 1 + dt * s_k[2] * s_k[1]
+        A[0, 1] = dt * s_k[2] * s_k[0]
+        A[0, 2] = dt * s_k[0] * s_k[1]
+        A[1, 0] = -dt * s_k[1] * s_k[2]
+        A[1, 1] = 1 - dt * (s_k[0] * s_k[2] - params["beta"])
+        A[1, 2] = -dt * s_k[0] * s_k[1]
+        A[2, 2] = 1 + dt * params["gamma"]
+        return A, np.eye(3)
+
+    return {
+        "StateHardMargins": state_hard_margins,
+        "ObsHardMargins": fwd["ObsHardMargins"],
+        "NlinStateUpdate": nlin_state_update,
+        "NlinObsUpdate": fwd["NlinObsUpdate"],
+        "StateJacobians": state_jacobians,
+        "ObsJacobian": fwd["ObsJacobian"],
+    }
+
+
+def si_alpha_costate_backward_handles(obs_type="NEWCASES"):
+    """Flipped 6-state opt-controlled handles
+    (SIAlphaModelBackwardEKFOptControlled.m:60-160)."""
+    fwd = si_alpha_costate_handles(obs_type)
+
+    def nlin_state_update(u, s_k, w_bar, params, k):
+        u = np.array(u, float)
+        phi = (params["epsilon"] * params["w"]
+               - params["gamma"] * s_k[5] * params["a"])
+        for kk in range(len(u)):
+            if np.isnan(u[kk]):
+                u[kk] = (params["u_min"][kk] if phi[kk] > 0
+                         else params["u_max"][kk])
+        rho = s_k[3] - s_k[4] - (1 - params["epsilon"])
+        dt = params["dt"]
+        out = np.zeros(6)
+        out[0] = max(0.0, min(1.0, s_k[0] + dt * s_k[2] * s_k[0] * s_k[1]))
+        out[1] = max(0.0, min(1.0, s_k[1] - dt * (
+            s_k[2] * s_k[0] * s_k[1] - params["beta"] * s_k[1])))
+        out[2] = max(params["alpha_min"], min(params["alpha_max"],
+                     s_k[2] - dt * (
+            -params["gamma"] * s_k[2] + params["gamma"] * params["b"]
+            + params["gamma"] * np.dot(params["a"],
+                                       params["u_max"] - u))))
+        out[3] = s_k[3] - dt * rho * s_k[2] * s_k[1]
+        out[4] = s_k[4] - dt * (rho * s_k[2] * s_k[0]
+                                + params["beta"] * s_k[4])
+        out[5] = s_k[5] - dt * (rho * s_k[0] * s_k[1]
+                                + params["gamma"] * s_k[5])
+        return u, out
+
+    def state_jacobians(u, s_k, w_bar, params, k):
+        dt = params["dt"]
+        A = np.zeros((6, 6))
+        A[0, 0] = 1 + dt * s_k[2] * s_k[1]
+        A[0, 1] = dt * s_k[2] * s_k[0]
+        A[0, 2] = dt * s_k[0] * s_k[1]
+        A[1, 0] = -dt * s_k[1] * s_k[2]
+        A[1, 1] = 1 - dt * (s_k[0] * s_k[2] - params["beta"])
+        A[1, 2] = -dt * s_k[0] * s_k[1]
+        A[2, 2] = 1 + dt * params["gamma"]
+        phi = (params["epsilon"] * params["w"]
+               - params["gamma"] * s_k[5] * params["a"])
+        for kk in range(len(u)):
+            if np.isnan(u[kk]) and (-1.0 / params["sigma"] < phi[kk]
+                                    < 1.0 / params["sigma"]):
+                A[2, 5] += (params["gamma"] * dt * (params["sigma"] / 2)
+                            * params["a"][kk]
+                            * (params["u_max"][kk] - params["u_min"][kk]))
+        rho = s_k[3] - s_k[4] - (1 - params["epsilon"])
+        A[3, 1] = -dt * s_k[2] * rho
+        A[3, 2] = -dt * s_k[1] * rho
+        A[3, 3] = 1 - dt * s_k[1] * s_k[2]
+        A[3, 4] = dt * s_k[1] * s_k[2]
+        A[4, 0] = -dt * s_k[2] * rho
+        A[4, 2] = -dt * s_k[0] * rho
+        A[4, 3] = -dt * s_k[0] * s_k[2]
+        A[4, 4] = 1 + dt * (s_k[0] * s_k[2] - params["beta"])
+        A[5, 0] = -dt * s_k[1] * rho
+        A[5, 1] = -dt * s_k[0] * rho
+        A[5, 3] = -dt * s_k[0] * s_k[1]
+        A[5, 4] = dt * s_k[0] * s_k[1]
+        A[5, 5] = 1 - dt * params["gamma"]
+        return A, np.eye(6)
+
+    return {
+        "StateHardMargins": fwd["StateHardMargins"],
+        "ObsHardMargins": fwd["ObsHardMargins"],
+        "NlinStateUpdate": nlin_state_update,
+        "NlinObsUpdate": fwd["NlinObsUpdate"],
+        "StateJacobians": state_jacobians,
+        "ObsJacobian": fwd["ObsJacobian"],
+    }
+
+
+def backward_generic_ekf(u, x, handles, params, s_init, Ps_init, s_final,
+                         Ps_final, w_bar, v_bar, Q_w, R_v, beta, gamma,
+                         inv_monitor_len, order):
+    """The backward wrapper's flip protocol (SIAlphaModelBackwardEKF.m:18-40):
+    time-flip u/x, swap init<->final, run generic_ekf with the flipped
+    handles, flip every output back. u: (p, T), x: (n, T)."""
+    u_f = np.asarray(u, float)[:, ::-1]
+    x_f = np.atleast_2d(np.asarray(x, float))[:, ::-1]
+    # Q_w/R_v pass through UNFLIPPED — the reference forwards them as-is
+    # (SIAlphaModelBackwardEKF.m:27)
+    res = generic_ekf(u_f, x_f, handles, params, s_final, Ps_final,
+                      s_init, Ps_init, w_bar, v_bar, Q_w, R_v, beta,
+                      gamma, inv_monitor_len, order)
+    (u_opt, u_opt_smooth, S_MINUS, S_PLUS, S_SMOOTH, P_MINUS, P_PLUS,
+     P_SMOOTH, K_GAIN, innovations, rho) = res
+    return (u_opt[:, ::-1], u_opt_smooth[:, ::-1], S_MINUS[:, ::-1],
+            S_PLUS[:, ::-1], S_SMOOTH[:, ::-1], P_MINUS[:, :, ::-1],
+            P_PLUS[:, :, ::-1], P_SMOOTH[:, :, ::-1], K_GAIN[:, :, ::-1],
+            innovations[:, ::-1], rho[:, :, ::-1])

@@ -147,3 +147,89 @@ def test_backward_costate_prescribes_bang_bang():
     u_filled = np.asarray(res.u_opt)[T_hist:]
     assert np.all((u_filled == 0.0) | (u_filled == u_max[None, :]))
     assert np.isfinite(np.asarray(res.s_plus)).all()
+
+
+def test_backward_ekf_matches_oracle():
+    """Backward 3-state wrapper vs the oracle's flip protocol + flipped
+    handles (SIAlphaModelBackwardEKF.m transcription), 1e-9."""
+    from tests import oracle_ekf
+    from epidemicmodeling_tpu.models import SIAlphaParams
+
+    P, T = 12, 80
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 3, (T, P)).astype(float)
+    obs = np.abs(rng.normal(1e-4, 3e-5, T))
+    u_max = np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4], float)
+    pr = dict(dt=1.0, beta=0.2, gamma=1 / 7, a=0.004 * rng.random(P),
+              b=0.05, u_min=np.zeros(P), u_max=u_max, s_min=1e-6,
+              i_min=1e-6, alpha_min=1e-8, alpha_max=100.0)
+    params = SIAlphaParams(**pr)
+    s_init = np.array([0.99, 1e-3, 0.3])
+    Ps_init = np.diag([1e-4, 1e-6, 0.1])
+    s_final = np.array([0.9, 5e-3, 0.25])
+    Ps_final = np.diag([1e-4, 1e-6, 0.1])
+    Q = np.diag([1e-10, 1e-10, 1e-5])
+    R_v = np.full((1, 1, T), 1e-12)
+
+    res = backward_ekf_smoother(
+        si_alpha_backward_ekf_system(), jnp.asarray(u), jnp.asarray(obs),
+        params, s_init=jnp.asarray(s_init), Ps_init=jnp.asarray(Ps_init),
+        s_final=jnp.asarray(s_final), Ps_final=jnp.asarray(Ps_final),
+        Q=jnp.asarray(Q), R=jnp.full(T, 1e-12), gamma_discount=0.995)
+
+    pr_np = {k: np.asarray(v, float) for k, v in pr.items()}
+    ref = oracle_ekf.backward_generic_ekf(
+        u.T, obs.reshape(1, -1), oracle_ekf.si_alpha_backward_handles(),
+        pr_np, s_init, Ps_init, s_final, Ps_final, np.zeros(3),
+        np.zeros(1), Q, R_v, 1.0, 0.995, 21, 1)
+    np.testing.assert_allclose(np.asarray(res.s_plus), ref[3].T,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.s_smooth), ref[4].T,
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_backward_costate_ekf_matches_oracle():
+    """Backward 6-state opt-controlled wrapper vs the oracle transcription
+    of SIAlphaModelBackwardEKFOptControlled.m (incl. bang-bang fill)."""
+    from tests import oracle_ekf
+    from epidemicmodeling_tpu.models import (
+        si_alpha_costate_backward_ekf_system, SIAlphaParams)
+
+    P, T, T_hist = 12, 70, 50
+    rng = np.random.default_rng(12)
+    u = rng.integers(0, 3, (T, P)).astype(float)
+    obs = np.abs(rng.normal(1e-4, 3e-5, T))
+    u[T_hist:] = np.nan
+    obs[T_hist:] = np.nan
+    u_max = np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4], float)
+    pr = dict(dt=1.0, beta=0.2, gamma=1 / 7, a=0.004 * rng.random(P),
+              b=0.05, u_min=np.zeros(P), u_max=u_max, s_min=1e-6,
+              i_min=1e-6, alpha_min=1e-8, alpha_max=100.0, epsilon=0.3,
+              w=np.ones(P), sigma=1e6)
+    params = SIAlphaParams(**pr)
+    s_init = np.array([0.99, 1e-3, 0.3, 0, 0, 0.0])
+    Ps_init = np.diag([1e-4, 1e-6, 0.1, 1e-7, 1e-7, 1e-7])
+    s_final = np.array([0.95, 2e-3, 0.25, 0, 0, 0.0])
+    Ps_final = np.diag([1e-4, 1e-6, 0.1, 1e-7, 1e-7, 1e-7])
+    Q = np.diag([1e-8, 1e-8, 1e-4, 1e-8, 1e-8, 1e-8])
+    R_v = np.full((1, 1, T), 4e-10)
+
+    res = backward_ekf_smoother(
+        si_alpha_costate_backward_ekf_system(), jnp.asarray(u),
+        jnp.asarray(obs), params, s_init=jnp.asarray(s_init),
+        Ps_init=jnp.asarray(Ps_init), s_final=jnp.asarray(s_final),
+        Ps_final=jnp.asarray(Ps_final), Q=jnp.asarray(Q),
+        R=jnp.full(T, 4e-10), gamma_discount=0.995)
+
+    pr_np = {k: np.asarray(v, float) for k, v in pr.items()}
+    ref = oracle_ekf.backward_generic_ekf(
+        u.T, obs.reshape(1, -1),
+        oracle_ekf.si_alpha_costate_backward_handles(), pr_np, s_init,
+        Ps_init, s_final, Ps_final, np.zeros(6), np.zeros(1), Q, R_v,
+        1.0, 0.995, 21, 1)
+    np.testing.assert_allclose(np.asarray(res.s_plus), ref[3].T,
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.u_opt), ref[0].T,
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(res.u_opt_smooth), ref[1].T,
+                               rtol=0, atol=0)
