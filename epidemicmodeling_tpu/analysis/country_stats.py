@@ -31,3 +31,36 @@ def r0_generation_ratio(infected, generation_period: int):
     p = generation_period
     ratio = (x[p:] / x[:-p]) ** (1.0 / p)
     return jnp.concatenate([jnp.ones(p, x.dtype), ratio])
+
+
+def causal_moving_average(x, wlen: int = 7, clip_negative: bool = True):
+    """MATLAB ``filter(ones(1, wlen), wlen, x')'`` over the trailing time
+    axis: y[t] = (x[t] + ... + x[t-wlen+1]) / wlen with zero initial
+    conditions, then negatives clamped to 0
+    (testCountryStatistics04.m:25-30)."""
+    x = jnp.asarray(x)
+    T = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(wlen - 1, 0)]
+    xp = jnp.pad(x, pad)
+    idx = jnp.arange(T)[:, None] + jnp.arange(wlen)[None, :]
+    y = jnp.mean(xp[..., idx], axis=-1)
+    return jnp.maximum(y, 0.0) if clip_negative else y
+
+
+def lagged_case_rate(total_cases, infected, lag: int = 0,
+                     smoothed: bool = False, wlen: int = 7):
+    """``Rate = NewCases(:, 1+lag:end) ./ Infected(:, 1:end-1-lag)`` with
+    negatives clamped to 0 (testCountryStatistics04.m:24-34): the lagged
+    new-cases-per-active-infection curve family. With ``smoothed=True`` both
+    series first pass the 7-day causal MA (the commented variant at :32).
+
+    total_cases, infected: (..., T). Returns (..., T-1-lag)."""
+    total = jnp.asarray(total_cases)
+    inf = jnp.asarray(infected)
+    new_cases = jnp.diff(total, axis=-1)
+    if smoothed:
+        new_cases = causal_moving_average(new_cases, wlen)
+        inf = causal_moving_average(inf, wlen)
+    T1 = new_cases.shape[-1]
+    rate = new_cases[..., lag:] / inf[..., : T1 - lag]
+    return jnp.maximum(rate, 0.0)

@@ -85,8 +85,9 @@ class PipelineConfig:
     backend: str = "vmap"                   # "vmap" (generic core) | "lanes"
                                             # (batch-last XLA fast path) |
                                             # "pallas" (fused kernels;
-                                            # NEWCASES, order=1, beta_ekf=1
-                                            # only; see ops/pallas/)
+                                            # NEWCASES or TOTALCASES
+                                            # observations, order=1 only;
+                                            # see ops/pallas/)
     scan_unroll: int = 1                    # lax.scan unroll for the lanes
                                             # core (amortizes per-step
                                             # dispatch overhead)

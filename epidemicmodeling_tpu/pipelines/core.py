@@ -558,10 +558,13 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
     s_hist_bl = tile_lanes(s_hist)                         # (T_hist, 3, Bl)
     s0_bl = s_hist_bl[-1]
     if cfg.stochastic_forecast:
-        noise = jax.random.normal(
-            jax.random.fold_in(jax.random.PRNGKey(0),
-                               key_chunk[0][0].astype(jnp.uint32)),
-            (H, 3, Bl), fdtype)
+        # SAME per-epsilon keys and draw shapes as the vmap path
+        # (per_eps -> _rollout_from draws normal(k_eps, (R, H, 3))), so the
+        # backends agree bit-for-bit in stochastic mode too — one draw per
+        # epsilon, laid out lane-last
+        noise_er = jax.vmap(
+            lambda k: jax.random.normal(k, (R, H, 3), fdtype))(key_chunk)
+        noise = noise_er.transpose(2, 3, 0, 1).reshape(H, 3, Bl)
         noise_std = jnp.stack([
             tile_lanes(s_noise_std), tile_lanes(i_noise_std),
             jnp.full((Bl,), cfg.alpha_noise_std, fdtype)])

@@ -144,6 +144,50 @@ def test_country_stats():
     np.testing.assert_allclose(r0[3:], 2.0, rtol=1e-12)
 
 
+def test_lagged_case_rate_matches_numpy_golden():
+    """testCountryStatistics04.m:24-34: Rate = NewCases(1+lag:end) ./
+    Infected(1:end-1-lag), negatives -> 0; smoothed variant first passes
+    filter(ones(1,wlen), wlen, .) with negatives -> 0 (:25-30,:32)."""
+    from epidemicmodeling_tpu.analysis import (causal_moving_average,
+                                               lagged_case_rate)
+    rng = np.random.default_rng(7)
+    T, C = 40, 3
+    total = np.cumsum(np.abs(rng.normal(50, 30, (C, T))), axis=1)
+    total[1, 10] -= 120.0   # negative revision -> negative new cases
+    infected = np.abs(rng.normal(200, 80, (C, T))) + 1.0
+
+    # numpy golden transcription of the MATLAB loop
+    new_cases = np.diff(total, axis=1)
+    wlen = 7
+    def ma(x):
+        xp = np.concatenate([np.zeros((C, wlen - 1)), x], axis=1)
+        y = np.stack([np.convolve(row, np.ones(wlen) / wlen, "valid")
+                      for row in xp])
+        return np.maximum(y, 0.0)
+
+    for lag in (0, 3):
+        want = new_cases[:, lag:] / infected[:, : new_cases.shape[1] - lag]
+        want = np.maximum(want, 0.0)
+        got = np.asarray(lagged_case_rate(total, infected, lag=lag))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        assert got.shape == (C, T - 1 - lag)
+
+        ncs, infs = ma(new_cases), ma(infected)
+        want_s = np.maximum(
+            ncs[:, lag:] / infs[:, : ncs.shape[1] - lag], 0.0)
+        got_s = np.asarray(lagged_case_rate(total, infected, lag=lag,
+                                            smoothed=True))
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-12)
+
+    # the causal MA itself matches MATLAB filter() semantics
+    x = rng.normal(size=(2, 15))
+    y = np.asarray(causal_moving_average(x, 4, clip_negative=False))
+    for t in range(15):
+        lo = max(0, t - 3)
+        np.testing.assert_allclose(y[:, t], x[:, lo:t + 1].sum(1) / 4.0,
+                                   rtol=1e-12)
+
+
 def test_jhu_loader(tmp_path):
     import pandas as pd
     from epidemicmodeling_tpu.data.jhu import read_covid19_data

@@ -61,13 +61,38 @@ def test_native_matches_jax(epsilon):
                                rtol=1e-9, atol=1e-9)
 
 
-def test_native_adaptive_R_runs():
+def test_native_adaptive_R_matches_jax():
+    """The deployment artifact's HEADLINE config: the reference's deployed
+    estimator adapts R on every valid step
+    (Tools/NewCaseEKFEstimatorWithOptimalNPI.m:103-110), so beta_ekf=0.9 is
+    the one config that must carry a cross-implementation pin, not just a
+    finiteness smoke test."""
     from epidemicmodeling_tpu.deploy import newcase_ekf_optimal_npi_native
+    from epidemicmodeling_tpu.pipelines.prescribe import \
+        new_case_ekf_optimal_npi
+
     u, obs, params, s_init, Ps_init, s_final, Ps_final, Q, R_v = build_case()
-    out = newcase_ekf_optimal_npi_native(
+    native = newcase_ekf_optimal_npi_native(
         u, obs, params, s_init, Ps_init, s_final, Ps_final, Q, R_v,
         beta_ekf=0.9)
-    assert np.isfinite(out["S_SMOOTH"]).all()
+    assert np.isfinite(native["S_SMOOTH"]).all()
+
+    res = new_case_ekf_optimal_npi(
+        jnp.asarray(u), jnp.asarray(obs), params, jnp.asarray(s_init),
+        jnp.asarray(Ps_init), jnp.asarray(s_final), jnp.asarray(Ps_final),
+        Q=jnp.asarray(Q), R=jnp.asarray(R_v), beta=0.9, gamma=0.995)
+
+    np.testing.assert_allclose(native["S_PLUS"], np.asarray(res.s_plus),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(native["S_SMOOTH"], np.asarray(res.s_smooth),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(native["U_OPT_SMOOTH"],
+                               np.asarray(res.u_opt_smooth),
+                               rtol=1e-9, atol=1e-9)
+    # the adaptation must actually bite: beta=1 and beta=0.9 runs differ
+    fixed = newcase_ekf_optimal_npi_native(
+        u, obs, params, s_init, Ps_init, s_final, Ps_final, Q, R_v)
+    assert np.abs(native["S_SMOOTH"] - fixed["S_SMOOTH"]).max() > 0
 
 
 def test_native_pareto_sweep_matches_single_eps_calls():

@@ -132,7 +132,15 @@ def test_pipeline_backends_agree():
         par = pareto_prescribe(bf, to.trained, to.init, s_hist, eps,
                                np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT,
                                110, cfg)
-        out[backend] = (to, scen, par)
+        # stochastic_forecast leg: the lanes sweep must consume the SAME
+        # per-epsilon keys as the vmap path (round-2 verdict weak #2)
+        cfg_s = PipelineConfig(smoother_gain="solve", backend=backend,
+                               pareto_chunk=3, stochastic_forecast=True)
+        par_s = pareto_prescribe(bf, to.trained, to.init, s_hist, eps,
+                                 np.ones(12), np.zeros(12),
+                                 NPI_MAXES_DEFAULT, 110, cfg_s,
+                                 key=jax.random.PRNGKey(7))
+        out[backend] = (to, scen, par, par_s)
     np.testing.assert_allclose(np.asarray(out["vmap"][0].trained.a2),
                                np.asarray(out["lanes"][0].trained.a2),
                                rtol=1e-9, atol=1e-12)
@@ -145,6 +153,14 @@ def test_pipeline_backends_agree():
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(out["vmap"][2]["J0"]),
                                np.asarray(out["lanes"][2]["J0"]), rtol=1e-9)
+    # stochastic-mode parity: same keys -> same noise -> same costs
+    np.testing.assert_allclose(np.asarray(out["vmap"][3]["J0"]),
+                               np.asarray(out["lanes"][3]["J0"]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out["vmap"][3]["J1"]),
+                               np.asarray(out["lanes"][3]["J1"]), rtol=1e-9)
+    # and the noise actually bites (stochastic differs from deterministic)
+    assert np.abs(np.asarray(out["lanes"][3]["J0"])
+                  - np.asarray(out["lanes"][2]["J0"])).max() > 0
 
 
 def test_bl_adaptive_R_matches_generic():
