@@ -457,7 +457,7 @@ def pack_params3_for_kernel(params_bl, Q_bl, dtype=jnp.float32):
 def ekf3_pallas_lanes(u_bl, x_bl, Rv_bl, params_bl, Q_bl, s_init_bl,
                       Ps_init_bl, s_final_bl=None, Ps_final_bl=None,
                       gamma_discount=0.995, obs_type="NEWCASES",
-                      interpret=False):
+                      interpret=False, mesh=None):
     """Lane-padding + param-packing glue around ``ekf3_pallas`` shared by
     the pipeline callers (pipelines/core._run_ekf3_pallas and the backtest
     fast path): pads the lane axis to the kernel tile (wide 512 tiles for
@@ -467,9 +467,18 @@ def ekf3_pallas_lanes(u_bl, x_bl, Rv_bl, params_bl, Q_bl, s_init_bl,
     All arrays are batch-last (lane axis LAST). s_final/Ps_final None =>
     unconstrained (NaN). Returns (S_SMOOTH, S_PLUS, S_MINUS), each
     (T, 3, B).
+
+    mesh: optional multi-device jax.sharding.Mesh. A Mosaic kernel is a
+    single-device program — XLA cannot auto-partition a pallas_call — so
+    the lane axis is blocked over every mesh device with shard_map and each
+    device runs the fused kernel on its own shard (lanes are independent
+    filters; no collectives). The pad is then per-device: every shard must
+    itself be a tile multiple.
     """
     B = x_bl.shape[-1]
-    pad = (-B) % (512 if B >= 2048 else 128)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    tile = 512 if B >= 2048 * n_dev else 128
+    pad = (-B) % (tile * n_dev)
     padl = lambda a: (a if pad == 0 else jnp.concatenate(
         [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
     f32 = jnp.float32
@@ -480,10 +489,23 @@ def ekf3_pallas_lanes(u_bl, x_bl, Rv_bl, params_bl, Q_bl, s_init_bl,
                   else padl(Ps_final_bl).reshape(9, B + pad))
     params_p = {k: padl(v) for k, v in params_bl.items()}
     scal, vecs = pack_params3_for_kernel(params_p, padl(Q_bl))
-    ssm, sp, sm = ekf3_pallas(
-        padl(u_bl), padl(x_bl), padl(Rv_bl), scal, vecs,
-        padl(s_init_bl), padl(Ps_init_bl).reshape(9, B + pad),
-        s_final_p, Ps_final_p,
-        gamma_discount=float(gamma_discount), interpret=interpret,
-        obs_type=obs_type)
+    args = (padl(u_bl), padl(x_bl), padl(Rv_bl), scal, vecs,
+            padl(s_init_bl), padl(Ps_init_bl).reshape(9, B + pad),
+            s_final_p, Ps_final_p)
+    run = functools.partial(
+        ekf3_pallas, gamma_discount=float(gamma_discount),
+        interpret=interpret, obs_type=obs_type)
+    if n_dev > 1:
+        lane_spec = lambda a: jax.sharding.PartitionSpec(
+            *([None] * (a.ndim - 1)), ("dp", "ep"))
+        args = tuple(
+            jax.lax.with_sharding_constraint(
+                a, jax.sharding.NamedSharding(mesh, lane_spec(a)))
+            for a in args)
+        out_spec = jax.sharding.PartitionSpec(None, None, ("dp", "ep"))
+        run = jax.shard_map(run, mesh=mesh,
+                            in_specs=tuple(lane_spec(a) for a in args),
+                            out_specs=(out_spec, out_spec, out_spec),
+                            check_vma=False)  # pallas outputs carry no vma
+    ssm, sp, sm = run(*args)
     return ssm[..., :B], sp[..., :B], sm[..., :B]

@@ -92,7 +92,7 @@ def shard_region_batch(mesh: Mesh, batch, axis: str = "dp"):
 
 def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
                                  horizon: int, n_npi: int = 12,
-                                 dtype=None):
+                                 dtype=None, backend: str = "lanes"):
     """Build and run ONE full train->prescribe step over the mesh on tiny
     synthetic shapes: the multi-chip validation entry (driver contract).
 
@@ -101,7 +101,10 @@ def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
     - Pareto sweep (6-state optimal-control EKS): (E, R) lanes sharded over
       (ep, dp)
 
-    Returns a dict of small result summaries (device-resident).
+    backend: "lanes" (XLA auto-SPMD partitions the batch-last scan) or
+    "pallas" (the fused kernels are shard_mapped over the mesh — the CLI's
+    shipped default; interpret mode off-TPU). Returns a dict of small
+    result summaries (device-resident).
     """
     import jax.numpy as jnp
     from ..data.synthetic import synthetic_oxford_frame
@@ -114,7 +117,7 @@ def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
 
     fdtype = dtype or jnp.result_type(float)
     cfg = PipelineConfig(pareto_chunk=E, num_monte_carlo=8,
-                         backend="lanes", smoother_gain="solve")
+                         backend=backend, smoother_gain="solve")
 
     _, _, truth = synthetic_oxford_frame(n_regions=R, n_days=T_hist, seed=0)
     sers, names = [], []
@@ -134,10 +137,10 @@ def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
     npi_maxes = NPI_MAXES_DEFAULT[:n_npi]
     with mesh:
         train_out = train_regions(batch_train, npi_mins, npi_maxes,
-                                  T_hist, cfg, dtype=fdtype)
+                                  T_hist, cfg, dtype=fdtype, mesh=mesh)
         scen, s_hist = forecast_scenarios(
             batch_full, train_out.trained, train_out.init, np.ones(n_npi),
-            npi_mins, npi_maxes, T_hist, cfg, dtype=fdtype)
+            npi_mins, npi_maxes, T_hist, cfg, dtype=fdtype, mesh=mesh)
         par = pareto_prescribe(
             batch_full, train_out.trained, train_out.init, s_hist,
             np.asarray(epsilon_grid(E)), np.ones(n_npi), npi_mins,

@@ -110,10 +110,13 @@ def _base_params(cfg: PipelineConfig, npi_mins, npi_maxes, R, dtype):
     }
 
 
-def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
+def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None,
+              mesh=None):
     """3-state EKF/EKS over the region axis: vmapped generic core, or the
     batch-last fast path when the configuration allows it (order 1, no
-    adaptive R)."""
+    adaptive R). mesh: multi-device mesh for the pallas backend only (the
+    kernel is shard_mapped over it; the other backends partition via XLA
+    auto-SPMD and ignore it)."""
     R = x.shape[0]
     m = 3
     params = dict(params)
@@ -129,7 +132,8 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
     # support fixed-R adaptation (beta=...) for direct callers.
     if (cfg.backend == "pallas" and cfg.order == 1
             and cfg.observation_type in ("NEWCASES", "TOTALCASES")):
-        return _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf)
+        return _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf,
+                                mesh=mesh)
 
     if cfg.backend in ("lanes", "pallas") and cfg.order == 1:
         from ..models.batch_last import si_alpha_ekf_system_bl
@@ -166,11 +170,12 @@ def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None):
                          init.Q, R_v)
 
 
-@_functools.partial(jax.jit, static_argnames=("cfg",))
-def _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf):
+@_functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf, mesh=None):
     """3-state EKF/EKS via the fused Pallas kernel (ops/pallas/ekf3_kernel).
     Lane axis = regions, padded to a multiple of 128; rho recomputed
-    post-hoc from the stored priors."""
+    post-hoc from the stored priors. mesh: shard_map the kernel's region
+    lanes over a multi-device mesh (see ekf3_pallas_lanes)."""
     from ..ops.pallas.ekf3_kernel import ekf3_pallas_lanes, rho_from_priors
     from ..ops.ekf import EKFResult
     fdt = x.dtype
@@ -182,7 +187,7 @@ def _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf):
         bl(u), x_bl, Rv_bl, {k: bl(v) for k, v in params.items()},
         bl(init.Q), bl(init.s_init), bl(init.Ps_init), bl(sf), bl(Pf),
         gamma_discount=cfg.gamma_ekf, obs_type=cfg.observation_type,
-        interpret=interp)
+        interpret=interp, mesh=mesh)
     rho = rho_from_priors(sm, x_bl, Rv_bl, cfg.inv_monitor_len,
                           obs_type=cfg.observation_type)
 
@@ -213,9 +218,9 @@ def _regress(cfg: PipelineConfig, x_data, y_data):
 
 
 @_functools.partial(jax.jit, static_argnames=("cfg", "num_regression_days",
-                                               "fdtype"))
+                                               "fdtype", "mesh"))
 def _train_impl(obs, npis, npi_mins, npi_maxes, population, obs_noise_var,
-                init, *, cfg, num_regression_days, fdtype):
+                init, *, cfg, num_regression_days, fdtype, mesh=None):
     """Module-level jitted training body: both EKF rounds, both regressions
     and every dtype cast run as ONE executable. The previous eager body cost
     ~40 per-primitive dispatches x ~4ms tunnel latency per pipeline call."""
@@ -231,7 +236,8 @@ def _train_impl(obs, npis, npi_mins, npi_maxes, population, obs_noise_var,
 
     # ROUND 1: zero control input, zero NPI influence (:199-248)
     u_zero = jnp.zeros((R, T, P), fdtype)
-    res1 = _run_ekf3(cfg, u_zero, obs[..., None], dict(params), init)
+    res1 = _run_ekf3(cfg, u_zero, obs[..., None], dict(params), init,
+                     mesh=mesh)
 
     # regression 1: alpha ~ (NPI_MAX - NPI) over the last regression window
     x_data = (jnp.asarray(npi_maxes, fdtype)[None, None, :] - npis)
@@ -243,7 +249,7 @@ def _train_impl(obs, npis, npi_mins, npi_maxes, population, obs_noise_var,
     params2 = dict(params)
     params2["a"] = a1
     params2["b"] = b1
-    res2 = _run_ekf3(cfg, npis, obs[..., None], params2, init)
+    res2 = _run_ekf3(cfg, npis, obs[..., None], params2, init, mesh=mesh)
 
     y2 = res2.s_smooth[:, T - num_regression_days:, 2]
     a2, b2 = jax.vmap(lambda xd, yd: _regress(cfg, xd, yd))(x_win, y2)
@@ -254,11 +260,13 @@ def _train_impl(obs, npis, npi_mins, npi_maxes, population, obs_noise_var,
 
 def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
                   cfg: PipelineConfig = PipelineConfig(),
-                  dtype=None) -> TrainOutputs:
+                  dtype=None, mesh=None) -> TrainOutputs:
     """Two-round EKF + regression training over all regions at once
     (TrainPredictPrescribeNPI.m:199-354).
 
     batch: RegionBatch over the TRAINING window (no forecast horizon).
+    mesh: multi-device mesh, needed by the pallas backend only (shard_map
+    over the region lanes; other backends shard via XLA auto-SPMD).
     """
     fdtype = dtype or jnp.result_type(float)
     init = region_init(batch, cfg)
@@ -269,7 +277,9 @@ def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
         np.asarray(batch.population, fd),
         np.asarray(batch.obs_noise_var, fd),
         init, cfg=cfg, num_regression_days=int(num_regression_days),
-        fdtype=fd)
+        fdtype=fd,
+        mesh=(mesh if (cfg.backend == "pallas" and mesh is not None
+                       and mesh.devices.size > 1) else None))
 
     trained = TrainedRegionParams(
         names=batch.names, population=np.asarray(batch.population),
@@ -345,13 +355,14 @@ def _region_weights(npi_weights, R, P, fdtype):
 def forecast_scenarios(batch_full, trained: TrainedRegionParams,
                        init: RegionInit, npi_weights, npi_mins, npi_maxes,
                        T_hist: int, cfg: PipelineConfig = PipelineConfig(),
-                       actual_npis=None, key=None, dtype=None):
+                       actual_npis=None, key=None, dtype=None, mesh=None):
     """Fixed / zero / max (+ optional actual) NPI forecast scenarios
     (TrainPredictPrescribeNPI.m:367-412).
 
     batch_full: RegionBatch over T_full = T_hist + horizon with NaN
     observations in the horizon. Returns dict of ScenarioResult plus the
     historic smoothed state trajectory (R, T_hist, 3).
+    mesh: multi-device mesh for the pallas backend (see train_regions).
     """
     fdtype = dtype or jnp.result_type(float)
     fd = np.dtype(fdtype)
@@ -364,17 +375,21 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
         np.asarray(npi_weights, fd), init,
         None if actual_npis is None else np.asarray(actual_npis, fd),
         key if cfg.stochastic_forecast else None,
-        cfg=cfg, T_hist=T_hist, fdtype=fd)
+        cfg=cfg, T_hist=T_hist, fdtype=fd,
+        mesh=(mesh if (cfg.backend == "pallas" and mesh is not None
+                       and mesh.devices.size > 1) else None))
     out = {"fixed": fixed, "zero": zero, "max": full}
     if act is not None:
         out["actual"] = act
     return out, s_hist
 
 
-@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "fdtype"))
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "fdtype",
+                                               "mesh"))
 def _scenarios_prep_impl(obs, npis, population, obs_noise_var, a2, b2,
                          npi_mins, npi_maxes, npi_weights, init,
-                         actual_npis, key, *, cfg, T_hist, fdtype):
+                         actual_npis, key, *, cfg, T_hist, fdtype,
+                         mesh=None):
     """Jitted scenario-stage prep + run: schedule construction, casts, the
     EKS and all rollouts as one executable (eager prep dispatches cost ~4ms
     each through the axon tunnel)."""
@@ -413,14 +428,14 @@ def _scenarios_prep_impl(obs, npis, population, obs_noise_var, a2, b2,
                           (R, H + 1, P))], axis=1)
     fixed, zero, full, s_hist = _scenarios_impl(
         u_fixed, u_zero, u_max_sched, obs, params, init, w_daywise,
-        key, cfg=cfg, T_hist=T_hist)
+        key, cfg=cfg, T_hist=T_hist, mesh=mesh)
 
     act = None
     if actual_npis is not None:
         # Z) actual ground-truth NPIs (:367-370) — estimator validation; uses
         # its own EKS trajectory rather than a rollout.
         res_act = _run_ekf3(cfg, jnp.asarray(actual_npis, fdtype),
-                            obs[..., None], params, init)
+                            obs[..., None], params, init, mesh=mesh)
         s = res_act.s_smooth[..., 0]
         i = res_act.s_smooth[..., 1]
         al = res_act.s_smooth[..., 2]
@@ -431,12 +446,13 @@ def _scenarios_prep_impl(obs, npis, population, obs_noise_var, a2, b2,
     return fixed, zero, full, act, s_hist
 
 
-@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist"))
+@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "mesh"))
 def _scenarios_impl(u_fixed, u_zero, u_max_sched, obs, params, init,
-                    w_daywise, key, *, cfg, T_hist):
+                    w_daywise, key, *, cfg, T_hist, mesh=None):
     """Module-level jitted scenario stage: fixed-input EKS defines s_hist,
     then the three rollouts + costs (compilation caches across calls)."""
-    res_fixed = _run_ekf3(cfg, u_fixed, obs[..., None], dict(params), init)
+    res_fixed = _run_ekf3(cfg, u_fixed, obs[..., None], dict(params), init,
+                          mesh=mesh)
     s_hist = res_fixed.s_smooth[:, :T_hist, :]
 
     def scenario(u_full):
@@ -493,11 +509,12 @@ def _sweep_chunk_vmap_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
     return jax.vmap(per_eps)(eps_chunk, key_chunk)
 
 
-@_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "Ec"))
+@_functools.partial(jax.jit,
+                    static_argnames=("cfg", "T_hist", "Ec", "mesh"))
 def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
                             QQ, PPs, ss_init, s_final, Ps_final, s_hist,
                             w_vec, s_noise_std, i_noise_std, *, cfg, T_hist,
-                            Ec):
+                            Ec, mesh=None):
     """Module-level jitted batch-last / Pallas Pareto chunk (hoisted out of
     pareto_prescribe so the compilation caches across calls — a closure-level
     jit recompiled on every pipeline invocation, costing ~10s per run)."""
@@ -526,22 +543,47 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
         from ..ops.pallas.ekf6_kernel import (ekf6_pallas,
                                               pack_params_for_kernel)
         # pad lanes to the kernel tile: wide 512-lane tiles for production
-        # batches (fills more VPU sublanes), narrow for small/test batches
-        pad = (-Bl) % (512 if Bl >= 2048 else 128)
+        # batches (fills more VPU sublanes), narrow for small/test batches.
+        # Under a mesh the pad is per-DEVICE: each shard of the lane axis
+        # must itself be a tile multiple.
+        n_dev = 1 if mesh is None else int(mesh.devices.size)
+        tile = 512 if Bl >= 2048 * n_dev else 128
+        pad = (-Bl) % (tile * n_dev)
         padl = lambda a: (a if pad == 0 else jnp.concatenate(
             [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
         params_p = {k: padl(v) for k, v in params_bl.items()}
         scal, vecs = pack_params_for_kernel(params_p, padl(tile_lanes(QQ)))
         interp = jax.default_backend() not in ("tpu", "axon")
-        _, u_sm_p, _ = ekf6_pallas(
+        kernel_args = (
             padl(tile_lanes(u_in)), padl(tile_lanes(obs)),
             padl(tile_lanes(R_v)), scal, vecs,
             padl(tile_lanes(ss_init)),
             padl(tile_lanes(PPs)).reshape(36, Bl + pad),
             padl(tile_lanes(s_final)),
-            padl(tile_lanes(Ps_final)).reshape(36, Bl + pad),
-            gamma_discount=float(cfg.gamma_ekf), interpret=interp,
-            obs_type=cfg.observation_type)
+            padl(tile_lanes(Ps_final)).reshape(36, Bl + pad))
+        run = _functools.partial(
+            ekf6_pallas, gamma_discount=float(cfg.gamma_ekf),
+            interpret=interp, obs_type=cfg.observation_type)
+        if n_dev > 1:
+            # A Mosaic kernel is a single-device program — XLA cannot
+            # auto-partition a pallas_call the way it partitions the lanes
+            # backend's scan. Block the (padded) lane axis over every mesh
+            # device with shard_map instead: each chip runs the fused
+            # kernel on its own lane shard. Lanes are embarrassingly
+            # parallel (SURVEY.md §2.10) so there are no collectives.
+            lane_spec = lambda a: jax.sharding.PartitionSpec(
+                *([None] * (a.ndim - 1)), ("ep", "dp"))
+            kernel_args = tuple(
+                jax.lax.with_sharding_constraint(
+                    a, jax.sharding.NamedSharding(mesh, lane_spec(a)))
+                for a in kernel_args)
+            out_spec = jax.sharding.PartitionSpec(None, None, ("ep", "dp"))
+            run = jax.shard_map(
+                run, mesh=mesh,
+                in_specs=tuple(lane_spec(a) for a in kernel_args),
+                out_specs=(out_spec, out_spec, out_spec),
+                check_vma=False)   # pallas_call outputs carry no vma info
+        _, u_sm_p, _ = run(*kernel_args)
         u_sm = u_sm_p[..., :Bl].astype(fdtype)             # (T, P, Bl)
     else:
         res = ekf_smoother_bl(
@@ -718,7 +760,9 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
         return _sweep_chunk_lanes_impl(
             eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
             s_final, Ps_final, s_hist_f, w_rp, s_nstd, i_nstd,
-            cfg=cfg, T_hist=T_hist, Ec=eps_chunk.shape[0])
+            cfg=cfg, T_hist=T_hist, Ec=eps_chunk.shape[0],
+            mesh=(mesh if (cfg.backend == "pallas" and mesh is not None
+                           and mesh.devices.size > 1) else None))
 
     eps = np.asarray(epsilon_values, float)
     chunk = cfg.pareto_chunk

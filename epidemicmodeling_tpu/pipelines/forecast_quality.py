@@ -42,13 +42,39 @@ def forecast_quality_assessment(batch, npi_mins, npi_maxes,
                                 num_forecast_days: int,
                                 max_look_ahead_days: int = 60,
                                 cfg: PipelineConfig = PipelineConfig(),
-                                dtype=None) -> BacktestResult:
+                                dtype=None, mesh=None) -> BacktestResult:
     """Run the look-ahead backtest over all regions.
 
     batch: RegionBatch over the ENTIRE window (training + evaluation tail);
     the last ``num_forecast_days`` days serve as holdout starts. Training
     uses the window up to T - num_forecast_days.
+
+    mesh: optional ("dp", "ep") device mesh — the paper's headline
+    evaluation scales the same way the flagship does: regions shard over
+    dp for training, and the (region, start) lane grid (the product's
+    largest, R x S lanes) spreads over every mesh device; lanes via XLA
+    auto-SPMD, pallas via shard_map around the fused kernel.
     """
+    import contextlib
+    if mesh is not None:
+        from ..parallel.mesh import shard_region_batch
+        if batch.observations.shape[0] % mesh.shape["dp"]:
+            raise ValueError(
+                f"{batch.observations.shape[0]} regions not divisible by "
+                f"mesh dp={mesh.shape['dp']}")
+        batch = shard_region_batch(mesh, batch)
+        ctx = mesh
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _forecast_quality_body(
+            batch, npi_mins, npi_maxes, num_regression_days,
+            num_forecast_days, max_look_ahead_days, cfg, dtype, mesh)
+
+
+def _forecast_quality_body(batch, npi_mins, npi_maxes, num_regression_days,
+                           num_forecast_days, max_look_ahead_days, cfg,
+                           dtype, mesh) -> BacktestResult:
     fdtype = dtype or jnp.result_type(float)
     R, T = batch.observations.shape
     P = batch.npis.shape[-1]
@@ -64,7 +90,7 @@ def forecast_quality_assessment(batch, npi_mins, npi_maxes,
         npis=batch.npis[:, :T_train],
         obs_noise_var=batch.obs_noise_var[:, :T_train])
     train_out = train_regions(train_batch, npi_mins, npi_maxes,
-                              num_regression_days, cfg, dtype)
+                              num_regression_days, cfg, dtype, mesh=mesh)
     init = train_out.init
 
     obs_full = jnp.asarray(batch.observations, fdtype)       # (R, T)
@@ -96,7 +122,9 @@ def forecast_quality_assessment(batch, npi_mins, npi_maxes,
         # numerics); cfg.smoother_gain applies to the vmap backend only.
         err_plus, err_smooth = _run_all_lanes(
             obs_full, npis_full, params, init.s_init, init.Ps_init, init.Q,
-            R_v, truth_cases, pop, cfg=cfg, S=S, H=H, interp=interp)
+            R_v, truth_cases, pop, cfg=cfg, S=S, H=H, interp=interp,
+            mesh=(mesh if (cfg.backend == "pallas" and mesh is not None
+                           and mesh.devices.size > 1) else None))
     else:
         err_plus, err_smooth = _run_all_vmap(
             obs_full, npis_full, params, init.s_init, init.Ps_init, init.Q,
@@ -126,9 +154,10 @@ def _errors_from_states(s_plus, s_smooth, truth_r, pop_r, start, T, H):
             jnp.where(valid, err_smooth[days_c], 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "S", "H", "interp"))
+@functools.partial(jax.jit, static_argnames=("cfg", "S", "H", "interp",
+                                             "mesh"))
 def _run_all_lanes(obs_full, npis_full, params, s_init, Ps_init, Q, R_v,
-                   truth_cases, pop, *, cfg, S, H, interp):
+                   truth_cases, pop, *, cfg, S, H, interp, mesh=None):
     """Module-level jitted fast path (a per-call jitted closure silently
     recompiles every invocation — CLAUDE.md perf rule 3)."""
     from ..models.batch_last import si_alpha_ekf_system_bl
@@ -157,7 +186,7 @@ def _run_all_lanes(obs_full, npis_full, params, s_init, Ps_init, Q, R_v,
             u_bl, obs_bl, tile(R_v), params_bl, tile(Q),
             tile(s_init).astype(f32), tile(Ps_init).astype(f32),
             gamma_discount=cfg.gamma_ekf, obs_type=cfg.observation_type,
-            interpret=interp)
+            interpret=interp, mesh=mesh)
         sp_bl = sp_p.astype(fdtype)
         ss_bl = ssm_p.astype(fdtype)
     else:

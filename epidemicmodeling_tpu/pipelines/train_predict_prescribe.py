@@ -208,7 +208,8 @@ def _run_pipeline_body(batch_train, batch_full, actual_npis, T_hist,
                        num_regression_days, cfg, key, dtype, trained, mesh):
     if trained is None:
         train_out = train_regions(batch_train, npi_mins, npi_maxes,
-                                  num_regression_days, cfg, dtype)
+                                  num_regression_days, cfg, dtype,
+                                  mesh=mesh)
     else:
         from .core import region_init, TrainOutputs, TrainedRegionParams
         idx = {n: i for i, n in enumerate(trained.names)}
@@ -227,7 +228,7 @@ def _run_pipeline_body(batch_train, batch_full, actual_npis, T_hist,
     scen, s_hist = forecast_scenarios(
         batch_full, train_out.trained, train_out.init, npi_weights,
         npi_mins, npi_maxes, T_hist, cfg,
-        actual_npis=actual_npis, key=key, dtype=dtype)
+        actual_npis=actual_npis, key=key, dtype=dtype, mesh=mesh)
     par = pareto_prescribe(
         batch_full, train_out.trained, train_out.init, s_hist,
         epsilon_values, npi_weights, npi_mins, npi_maxes, T_hist, cfg,

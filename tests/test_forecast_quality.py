@@ -84,3 +84,37 @@ def test_backtest_lanes_backend_matches_vmap():
         np.testing.assert_allclose(np.asarray(fast.mean_error_smooth),
                                    np.asarray(ref.mean_error_smooth),
                                    rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("backend", ["lanes", "pallas"])
+def test_backtest_sharded_matches_single_device(backend):
+    """forecast_quality_assessment(mesh=...) over the 8-device CPU mesh must
+    equal the unsharded run bit-for-bit — the (region, start) lane grid is
+    the product's largest and scales the same way the flagship does
+    (ForecastQualityAssessment.m:374-416)."""
+    from epidemicmodeling_tpu.parallel import make_mesh
+
+    _, _, truth = synthetic_oxford_frame(n_regions=4, n_days=140, seed=6)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc), None, tr["u"],
+                                      tr["pop"]))
+        names.append(name)
+    batch = build_region_batch(sers, names)
+    kw = dict(npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
+              num_regression_days=120, num_forecast_days=8,
+              max_look_ahead_days=6,
+              cfg=PipelineConfig(backend=backend, smoother_gain="solve"))
+    single = forecast_quality_assessment(batch, **kw)
+    sharded = forecast_quality_assessment(batch, mesh=make_mesh(8), **kw)
+    # partition-order reassociation in the training reductions costs ~1e-13
+    np.testing.assert_allclose(np.asarray(sharded.est_error_smooth),
+                               np.asarray(single.est_error_smooth),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sharded.est_error_plus),
+                               np.asarray(single.est_error_plus),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sharded.trained.a2),
+                               np.asarray(single.trained.a2),
+                               rtol=1e-12, atol=1e-15)

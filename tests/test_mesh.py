@@ -44,11 +44,15 @@ def test_shard_batch_arrays_nonstrict_warns_and_replicates():
     np.testing.assert_array_equal(np.asarray(out["a"]), bad["a"])
 
 
-def test_full_pipeline_sharded_matches_single_device():
+@pytest.mark.parametrize("backend", ["lanes", "pallas"])
+def test_full_pipeline_sharded_matches_single_device(backend):
     """run_pipeline(mesh=...) over the 8-device CPU mesh must produce the
     same prescriptions/costs as the unsharded run — SPMD partitioning only
     changes placement, not semantics (no cross-lane reductions in the hot
-    scans)."""
+    scans). The pallas leg exercises the shard_map wiring around both fused
+    kernels (a Mosaic kernel cannot be auto-partitioned by XLA), in
+    interpret mode on the virtual CPU mesh; this is the CLI's shipped
+    default backend."""
     import jax.numpy as jnp
     from epidemicmodeling_tpu.data import synthetic_oxford_frame
     from epidemicmodeling_tpu.data.preprocess import (
@@ -68,7 +72,7 @@ def test_full_pipeline_sharded_matches_single_device():
     bt = build_region_batch(sers, names)
     bf = build_region_batch(sers, names, horizon=19)
     eps = np.asarray(epsilon_grid(8))
-    cfg = PipelineConfig(backend="lanes", pareto_chunk=4, num_monte_carlo=16,
+    cfg = PipelineConfig(backend=backend, pareto_chunk=4, num_monte_carlo=16,
                          smoother_gain="solve")
     kw = dict(npi_weights=np.ones(12), epsilon_values=eps,
               npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
