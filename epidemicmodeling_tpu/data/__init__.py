@@ -9,7 +9,9 @@ from .preprocess import (
 )
 from .oxford import (load_oxford_data, load_populations, load_geo_list,
                      load_npi_costs)
-from .synthetic import synthetic_oxford_frame, to_oxcgrt_latest_schema
+from .synthetic import (synthetic_oxford_frame,
+                        realistic_oxford_frame,
+                        to_oxcgrt_latest_schema)
 from .xprize_io import (write_predictions_csv, write_prescriptions_csv,
                         read_future_ip)
 
@@ -20,6 +22,7 @@ __all__ = [
     "load_oxford_data", "load_populations", "load_geo_list",
     "load_npi_costs",
     "synthetic_oxford_frame",
+    "realistic_oxford_frame",
     "to_oxcgrt_latest_schema",
     "write_predictions_csv", "write_prescriptions_csv", "read_future_ip",
 ]

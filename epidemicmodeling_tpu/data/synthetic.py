@@ -86,6 +86,108 @@ def synthetic_oxford_frame(n_regions: int = 4, n_days: int = 240,
     return df, pops, truth
 
 
+def realistic_oxford_frame(n_regions: int = 4, n_days: int = 240,
+                           start_date: str = "2020-03-01", seed: int = 0,
+                           npi_maxes=NPI_MAXES_DEFAULT, beta=None):
+    """"Real-artifact" mode: compose the pathologies of real OxCGRT/JHU case
+    histories JOINTLY on top of the clean synthetic epidemic, so the fixture
+    exercises every rule of the cleaning layer at once rather than
+    one-at-a-time (the rules: new-case diff + negative clipping
+    TrainPredictPrescribeNPI.m:156-159, trailing-NaN backfill + NaN
+    zero-fill :160-170, NPI forward-fill then zero-fill :121-128,
+    short-history skip :103-106):
+
+    - weekend under-reporting dips with a Monday catch-up spike (weekly
+      totals conserved — the dominant artifact of real case counts)
+    - multi-day reporting gaps: the cumulative count freezes, then the
+      missed cases dump in one catch-up day
+    - negative revisions: the cumulative count DROPS on correction days
+      (negative daily diff, clipped by :159)
+    - NaN holes mid-series and a trailing NaN (today's not-yet-reported
+      value, backfilled by :160-165)
+    - a late-starting region: leading NaN run before reporting begins
+    - NaN runs and leading NaNs in the NPI columns (forward-fill :121-128)
+
+    Returns (df, pops, truth) like synthetic_oxford_frame; truth additionally
+    records the clean pre-corruption series under "confirmed_clean".
+    """
+    df, pops, truth = synthetic_oxford_frame(
+        n_regions=n_regions, n_days=n_days, start_date=start_date,
+        seed=seed, npi_maxes=npi_maxes, beta=beta)
+    rng = np.random.default_rng(seed + 1000)
+    P = len(npi_maxes)
+    npi_cols = OXFORD_NPI_COLUMNS[:P]
+    dates = pd.date_range(start_date, periods=n_days, freq="D")
+    dow = dates.dayofweek.to_numpy()          # 0=Mon .. 6=Sun
+
+    out_blocks = []
+    for r in range(n_regions):
+        cname = f"Synthland{r}"
+        name = cname + " "
+        sub = df[df["CountryName"] == cname].sort_values("Date").copy()
+        confirmed = sub["ConfirmedCases"].to_numpy(float)
+        truth[name]["confirmed_clean"] = confirmed.copy()
+        new_cases = np.diff(np.concatenate([[confirmed[0]], confirmed]))
+
+        # 1) weekend dips + Monday catch-up (weekly totals conserved)
+        dip = rng.uniform(0.3, 0.6)
+        carried = 0.0
+        nc = new_cases.copy()
+        for t in range(n_days):
+            if dow[t] >= 5:                        # Sat/Sun under-report
+                held = nc[t] * (1.0 - dip)
+                nc[t] -= held
+                carried += held
+            elif dow[t] == 0 and carried > 0:      # Monday catch-up
+                nc[t] += carried
+                carried = 0.0
+
+        # 2) reporting gaps: cumulative freezes, then one catch-up dump
+        for _ in range(3):
+            g0 = int(rng.integers(20, n_days - 10))
+            glen = int(rng.integers(2, 6))
+            dumped = nc[g0:g0 + glen].sum()
+            nc[g0:g0 + glen] = 0.0
+            nc[g0 + glen] += dumped
+
+        confirmed = np.cumsum(nc)
+
+        # 3) negative revisions: permanent downward corrections (one
+        #    negative daily diff each; clipped to 0 by the cleaning)
+        for _ in range(2):
+            t0 = int(rng.integers(n_days // 2, n_days - 5))
+            delta = 0.05 * confirmed[t0]
+            confirmed[t0:] -= delta
+
+        # 4) NaN holes + trailing NaN (region 0 gets the trailing NaN)
+        holes = rng.integers(10, n_days - 2, size=4)
+        confirmed[holes] = np.nan
+        if r == 0:
+            confirmed[-1] = np.nan
+
+        # 5) late-starting region: leading NaN run (region 1)
+        if r == 1 and n_days > 80:
+            confirmed[:40] = np.nan
+
+        deaths = np.where(np.isnan(confirmed), np.nan, 0.01 * confirmed)
+
+        # 6) NPI NaN runs + leading NaNs
+        u = sub[npi_cols].to_numpy(float).copy()
+        for j in range(P):
+            if rng.random() < 0.5:
+                h0 = int(rng.integers(5, n_days - 10))
+                u[h0:h0 + int(rng.integers(3, 10)), j] = np.nan
+        if r == 1:
+            u[:15, :] = np.nan                      # pre-reporting era
+
+        sub["ConfirmedCases"] = confirmed
+        sub["ConfirmedDeaths"] = deaths
+        sub[npi_cols] = u
+        out_blocks.append(sub)
+
+    return pd.concat(out_blocks, ignore_index=True), pops, truth
+
+
 def to_oxcgrt_latest_schema(df: pd.DataFrame, seed: int = 0) -> pd.DataFrame:
     """Expand a minimal OxCGRT-schema frame to the FULL live
     OxCGRT_latest.csv column set (data.oxford.OXCGRT_LATEST_COLUMNS): adds
