@@ -16,4 +16,5 @@ __all__ = [
     "si_alpha_hamiltonian_shooting", "si_alpha_multiplicative_shooting",
     "si_continuous_control",
     "mortality_rate", "active_cases", "r0_generation_ratio",
+    "causal_moving_average", "lagged_case_rate",
 ]

@@ -35,15 +35,11 @@ def r0_generation_ratio(infected, generation_period: int):
 
 def causal_moving_average(x, wlen: int = 7, clip_negative: bool = True):
     """MATLAB ``filter(ones(1, wlen), wlen, x')'`` over the trailing time
-    axis: y[t] = (x[t] + ... + x[t-wlen+1]) / wlen with zero initial
-    conditions, then negatives clamped to 0
-    (testCountryStatistics04.m:25-30)."""
-    x = jnp.asarray(x)
-    T = x.shape[-1]
-    pad = [(0, 0)] * (x.ndim - 1) + [(wlen - 1, 0)]
-    xp = jnp.pad(x, pad)
-    idx = jnp.arange(T)[:, None] + jnp.arange(wlen)[None, :]
-    y = jnp.mean(xp[..., idx], axis=-1)
+    axis with negatives then clamped to 0 (testCountryStatistics04.m:25-30).
+    Thin wrapper adding the clamp to the shared FIR implementation
+    (utils.math.causal_moving_average)."""
+    from ..utils.math import causal_moving_average as _ma
+    y = _ma(jnp.asarray(x, jnp.result_type(float)), wlen)
     return jnp.maximum(y, 0.0) if clip_negative else y
 
 

@@ -475,10 +475,9 @@ def ekf3_pallas_lanes(u_bl, x_bl, Rv_bl, params_bl, Q_bl, s_init_bl,
     filters; no collectives). The pad is then per-device: every shard must
     itself be a tile multiple.
     """
+    from .shard import pad_for_mesh, shard_map_lanes
     B = x_bl.shape[-1]
-    n_dev = 1 if mesh is None else int(mesh.devices.size)
-    tile = 512 if B >= 2048 * n_dev else 128
-    pad = (-B) % (tile * n_dev)
+    n_dev, pad = pad_for_mesh(B, mesh)
     padl = lambda a: (a if pad == 0 else jnp.concatenate(
         [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
     f32 = jnp.float32
@@ -496,16 +495,7 @@ def ekf3_pallas_lanes(u_bl, x_bl, Rv_bl, params_bl, Q_bl, s_init_bl,
         ekf3_pallas, gamma_discount=float(gamma_discount),
         interpret=interpret, obs_type=obs_type)
     if n_dev > 1:
-        lane_spec = lambda a: jax.sharding.PartitionSpec(
-            *([None] * (a.ndim - 1)), ("dp", "ep"))
-        args = tuple(
-            jax.lax.with_sharding_constraint(
-                a, jax.sharding.NamedSharding(mesh, lane_spec(a)))
-            for a in args)
-        out_spec = jax.sharding.PartitionSpec(None, None, ("dp", "ep"))
-        run = jax.shard_map(run, mesh=mesh,
-                            in_specs=tuple(lane_spec(a) for a in args),
-                            out_specs=(out_spec, out_spec, out_spec),
-                            check_vma=False)  # pallas outputs carry no vma
+        # region-major lanes (training/backtest batch axes lead)
+        run, args = shard_map_lanes(run, mesh, args, ("dp", "ep"), n_out=3)
     ssm, sp, sm = run(*args)
     return ssm[..., :B], sp[..., :B], sm[..., :B]

@@ -1,0 +1,54 @@
+"""Shared shard_map wiring for the fused Mosaic kernels.
+
+A Mosaic kernel is a single-device program: XLA cannot auto-partition a
+``pallas_call`` the way it partitions an ordinary scan, so multi-chip
+execution blocks the (padded) lane axis explicitly over the mesh and runs
+the kernel per device on its own shard. Lanes are independent filters
+(SURVEY.md §2.10) — there are no collectives. Used by both kernel entry
+points (ops/pallas/ekf3_kernel.ekf3_pallas_lanes and
+pipelines/core._sweep_chunk_lanes_impl) so the subtle axis-order choice
+lives in one place.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def pad_for_mesh(B: int, mesh) -> tuple[int, int]:
+    """Lane padding so every device's shard is a kernel-tile multiple.
+
+    Returns (n_dev, pad): wide 512-lane tiles for production batches (fills
+    more VPU sublanes), narrow 128 for small/test batches; under a mesh the
+    tile constraint applies PER DEVICE."""
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    tile = 512 if B >= 2048 * n_dev else 128
+    return n_dev, (-B) % (tile * n_dev)
+
+
+def shard_map_lanes(run, mesh, args, axis_order, n_out: int):
+    """Wrap ``run`` so each mesh device executes it on its shard of the
+    LAST (lane) axis of every arg.
+
+    axis_order: the PartitionSpec mesh-axis tuple the flattened lane axis
+    maps onto — ("ep", "dp") for eps-major layouts (the Pareto sweep's
+    lane index is e*R + r), ("dp", "ep") for region-major ones. Any
+    balanced split is semantically correct (lanes are independent); the
+    order only controls which lanes land on which chip.
+
+    Returns (wrapped_run, constrained_args): the args get an explicit
+    with_sharding_constraint so XLA reshards them to match the shard_map
+    partitioning instead of gathering.
+    """
+    lane_spec = lambda a: jax.sharding.PartitionSpec(
+        *([None] * (a.ndim - 1)), axis_order)
+    args = tuple(
+        jax.lax.with_sharding_constraint(
+            a, jax.sharding.NamedSharding(mesh, lane_spec(a)))
+        for a in args)
+    out_spec = jax.sharding.PartitionSpec(None, None, axis_order)
+    wrapped = jax.shard_map(run, mesh=mesh,
+                            in_specs=tuple(lane_spec(a) for a in args),
+                            out_specs=(out_spec,) * n_out,
+                            check_vma=False)  # pallas outputs carry no vma
+    return wrapped, args

@@ -110,6 +110,14 @@ def _base_params(cfg: PipelineConfig, npi_mins, npi_maxes, R, dtype):
     }
 
 
+def _pallas_mesh(cfg: PipelineConfig, mesh):
+    """Gate a mesh down to the pallas backend's shard_map wiring: the other
+    backends partition via XLA auto-SPMD and must see None so their jit
+    cache keys stay stable (single source of truth for the condition)."""
+    return (mesh if (cfg.backend == "pallas" and mesh is not None
+                     and mesh.devices.size > 1) else None)
+
+
 def _run_ekf3(cfg, u, x, params, init, s_final=None, Ps_final=None,
               mesh=None):
     """3-state EKF/EKS over the region axis: vmapped generic core, or the
@@ -277,9 +285,7 @@ def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
         np.asarray(batch.population, fd),
         np.asarray(batch.obs_noise_var, fd),
         init, cfg=cfg, num_regression_days=int(num_regression_days),
-        fdtype=fd,
-        mesh=(mesh if (cfg.backend == "pallas" and mesh is not None
-                       and mesh.devices.size > 1) else None))
+        fdtype=fd, mesh=_pallas_mesh(cfg, mesh))
 
     trained = TrainedRegionParams(
         names=batch.names, population=np.asarray(batch.population),
@@ -375,9 +381,7 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
         np.asarray(npi_weights, fd), init,
         None if actual_npis is None else np.asarray(actual_npis, fd),
         key if cfg.stochastic_forecast else None,
-        cfg=cfg, T_hist=T_hist, fdtype=fd,
-        mesh=(mesh if (cfg.backend == "pallas" and mesh is not None
-                       and mesh.devices.size > 1) else None))
+        cfg=cfg, T_hist=T_hist, fdtype=fd, mesh=_pallas_mesh(cfg, mesh))
     out = {"fixed": fixed, "zero": zero, "max": full}
     if act is not None:
         out["actual"] = act
@@ -542,13 +546,10 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
     if cfg.backend == "pallas":
         from ..ops.pallas.ekf6_kernel import (ekf6_pallas,
                                               pack_params_for_kernel)
-        # pad lanes to the kernel tile: wide 512-lane tiles for production
-        # batches (fills more VPU sublanes), narrow for small/test batches.
-        # Under a mesh the pad is per-DEVICE: each shard of the lane axis
-        # must itself be a tile multiple.
-        n_dev = 1 if mesh is None else int(mesh.devices.size)
-        tile = 512 if Bl >= 2048 * n_dev else 128
-        pad = (-Bl) % (tile * n_dev)
+        from ..ops.pallas.shard import pad_for_mesh, shard_map_lanes
+        # pad lanes to the kernel tile; under a mesh the pad is per-DEVICE
+        # (each shard of the lane axis must itself be a tile multiple)
+        n_dev, pad = pad_for_mesh(Bl, mesh)
         padl = lambda a: (a if pad == 0 else jnp.concatenate(
             [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
         params_p = {k: padl(v) for k, v in params_bl.items()}
@@ -565,24 +566,10 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
             ekf6_pallas, gamma_discount=float(cfg.gamma_ekf),
             interpret=interp, obs_type=cfg.observation_type)
         if n_dev > 1:
-            # A Mosaic kernel is a single-device program — XLA cannot
-            # auto-partition a pallas_call the way it partitions the lanes
-            # backend's scan. Block the (padded) lane axis over every mesh
-            # device with shard_map instead: each chip runs the fused
-            # kernel on its own lane shard. Lanes are embarrassingly
-            # parallel (SURVEY.md §2.10) so there are no collectives.
-            lane_spec = lambda a: jax.sharding.PartitionSpec(
-                *([None] * (a.ndim - 1)), ("ep", "dp"))
-            kernel_args = tuple(
-                jax.lax.with_sharding_constraint(
-                    a, jax.sharding.NamedSharding(mesh, lane_spec(a)))
-                for a in kernel_args)
-            out_spec = jax.sharding.PartitionSpec(None, None, ("ep", "dp"))
-            run = jax.shard_map(
-                run, mesh=mesh,
-                in_specs=tuple(lane_spec(a) for a in kernel_args),
-                out_specs=(out_spec, out_spec, out_spec),
-                check_vma=False)   # pallas_call outputs carry no vma info
+            # each chip runs the fused kernel on its own lane shard
+            # (ops/pallas/shard.py); the sweep lanes are eps-major (e*R+r)
+            run, kernel_args = shard_map_lanes(
+                run, mesh, kernel_args, ("ep", "dp"), n_out=3)
         _, u_sm_p, _ = run(*kernel_args)
         u_sm = u_sm_p[..., :Bl].astype(fdtype)             # (T, P, Bl)
     else:
@@ -761,8 +748,7 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
             eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
             s_final, Ps_final, s_hist_f, w_rp, s_nstd, i_nstd,
             cfg=cfg, T_hist=T_hist, Ec=eps_chunk.shape[0],
-            mesh=(mesh if (cfg.backend == "pallas" and mesh is not None
-                           and mesh.devices.size > 1) else None))
+            mesh=_pallas_mesh(cfg, mesh))
 
     eps = np.asarray(epsilon_values, float)
     chunk = cfg.pareto_chunk

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..ops import ekf_smoother
 from ..models import si_alpha_ekf_system
 from .config import PipelineConfig
-from .core import train_regions, _base_params
+from .core import train_regions, _base_params, _pallas_mesh
 
 
 class BacktestResult(NamedTuple):
@@ -103,14 +103,10 @@ def _forecast_quality_body(batch, npi_mins, npi_maxes, num_regression_days,
     params["a"] = train_out.trained.a2
     params["b"] = train_out.trained.b2
 
-    system = si_alpha_ekf_system(cfg.observation_type)
     pop = jnp.asarray(batch.population, fdtype)
 
     # ground-truth absolute smoothed new cases (R, T)
     truth_cases = jnp.asarray(batch.new_cases_norm, fdtype) * pop[:, None]
-
-    starts = jnp.arange(1, S + 1)          # holdout lengths (days masked)
-    t_idx = jnp.arange(T)
 
     interp = jax.default_backend() not in ("tpu", "axon")
     if cfg.backend in ("lanes", "pallas") and cfg.order == 1:
@@ -123,8 +119,7 @@ def _forecast_quality_body(batch, npi_mins, npi_maxes, num_regression_days,
         err_plus, err_smooth = _run_all_lanes(
             obs_full, npis_full, params, init.s_init, init.Ps_init, init.Q,
             R_v, truth_cases, pop, cfg=cfg, S=S, H=H, interp=interp,
-            mesh=(mesh if (cfg.backend == "pallas" and mesh is not None
-                           and mesh.devices.size > 1) else None))
+            mesh=_pallas_mesh(cfg, mesh))
     else:
         err_plus, err_smooth = _run_all_vmap(
             obs_full, npis_full, params, init.s_init, init.Ps_init, init.Q,
