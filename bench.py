@@ -42,6 +42,15 @@ FLOPS_PER_FILTER_DAY_6STATE = 4700
 #   bwd reads u(12) + sp/sm(12) + pp/pm(72) = 96, writes ssm(6) + usm(12)
 HBM_BYTES_PER_FILTER_DAY = 212 * 4
 
+# 3-state EKS (the training rounds, ops/pallas/ekf3_kernel.py): same
+# structure at m=3 — the seven 3x3 matmul-pairs cost ~(2*27-9)=45 each vs
+# 396, the Cholesky/solves ~90 vs ~530, and the 12-NPI drive/Jacobian
+# loops are shared. Forward ~620, backward ~560.
+FLOPS_PER_FILTER_DAY_3STATE = 1200
+# fwd reads u(12)+x(1)+Rv(1)=14, writes 6+18=24; bwd reads 12+6+18=36+u(12),
+# writes ssm(3): 92 f32
+HBM_BYTES_PER_FILTER_DAY_3STATE = 92 * 4
+
 
 def measure_machine_anchors(jax):
     """Empirical single-chip peaks, so pct-of-peak is measured against THIS
@@ -308,6 +317,20 @@ def main():
         "filter_days": filter_days,
         "filter_days_per_s": round(fd_per_s, 0),
         "pareto_stage_s": round(pareto_s, 3),
+        # the 3-state training rounds (2 x R x T_hist filter-days) are
+        # LATENCY-bound, not throughput-bound: R=235 lanes pad to 256 — an
+        # eighth of one 2048-lane wave — plus the NNLS regressions; kept
+        # here so the stage's cost is priced, not hidden
+        "train_stage": {
+            "flops_per_filter_day": FLOPS_PER_FILTER_DAY_3STATE,
+            "hbm_bytes_per_filter_day": HBM_BYTES_PER_FILTER_DAY_3STATE,
+            "filter_days": 2 * R_REGIONS * T_HIST,
+            "stage_s": round(stage_list[int(np.argmin(warms))]["train"], 3),
+            "achieved_gflops": round(
+                2 * R_REGIONS * T_HIST
+                * FLOPS_PER_FILTER_DAY_3STATE / 1e9
+                / stage_list[int(np.argmin(warms))]["train"], 2),
+        },
         # roofline: analytic FLOP/byte costs x achieved rate, against
         # MEASURED single-chip anchors (not quoted specs); the workload is
         # all-VPU by design — 6x6 algebra never touches the 128x128 MXU
