@@ -56,3 +56,31 @@ def train_test_split_time(X, y, train_fraction: float = 0.8):
     T = X.shape[0]
     cut = int(T * train_fraction)
     return (X[:cut], y[:cut]), (X[cut:], y[cut:])
+
+
+def region_window_mask(dates, confirmed, criterion: str = "MIN_CASE_BASED",
+                       min_cases: float = 100.0, start_date: int = 0,
+                       end_date: int = 99999999):
+    """Per-region processing-window selection
+    (test04FullFeatureExtMLpipeline.m:16,83-90):
+
+    - ``MIN_CASE_BASED``: days with ConfirmedCases > min_cases, up to
+      end_date (the epidemic-onset criterion)
+    - ``DATE_BASED``: start_date <= date <= end_date
+    - ``DATA_OR_MIN_CASE_BASED``: both conditions jointly
+
+    dates: (T,) ints YYYYMMDD; confirmed: (T,) cumulative cases (NaN =
+    not reporting, never selected by the case criterion). Returns a (T,)
+    boolean mask.
+    """
+    dates = np.asarray(dates)
+    confirmed = np.asarray(confirmed, float)
+    in_end = dates <= end_date
+    case_ok = np.where(np.isnan(confirmed), False, confirmed > min_cases)
+    if criterion == "MIN_CASE_BASED":
+        return case_ok & in_end
+    if criterion == "DATE_BASED":
+        return (dates >= start_date) & in_end
+    if criterion == "DATA_OR_MIN_CASE_BASED":
+        return case_ok & (dates >= start_date) & in_end
+    raise ValueError(f"unknown start_date_criterion {criterion!r}")

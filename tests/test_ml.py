@@ -181,3 +181,28 @@ def test_exog_closed_loop_rollout_tracks_linear_dynamics():
     persist = float(np.mean(np.abs(y[T - 1] - y[T:])))
     assert np.isfinite(mae)
     assert mae < persist, (mae, persist)
+
+
+def test_region_window_mask_matches_reference_switch():
+    """test04FullFeatureExtMLpipeline.m:83-90: the three start-date
+    criteria, numpy golden per branch (NaN confirmed never passes the
+    case criterion)."""
+    from epidemicmodeling_tpu.ml import region_window_mask
+    dates = np.array([20200101, 20200115, 20200201, 20200215, 20200301])
+    confirmed = np.array([50.0, np.nan, 150.0, 300.0, 500.0])
+
+    m = region_window_mask(dates, confirmed, "MIN_CASE_BASED",
+                           min_cases=100, end_date=20200215)
+    np.testing.assert_array_equal(m, [False, False, True, True, False])
+
+    m = region_window_mask(dates, confirmed, "DATE_BASED",
+                           start_date=20200115, end_date=20200215)
+    np.testing.assert_array_equal(m, [False, True, True, True, False])
+
+    m = region_window_mask(dates, confirmed, "DATA_OR_MIN_CASE_BASED",
+                           min_cases=100, start_date=20200210,
+                           end_date=20200301)
+    np.testing.assert_array_equal(m, [False, False, False, True, True])
+
+    with pytest.raises(ValueError, match="start_date_criterion"):
+        region_window_mask(dates, confirmed, "BOGUS")
