@@ -50,3 +50,11 @@ def test_make_figures_example(tmp_path):
     main(outdir=str(tmp_path))
     pngs = list(tmp_path.glob("*.png"))
     assert pngs, "make_figures wrote no figures"
+
+
+def test_realistic_data_pipeline_example(capsys):
+    from realistic_data_pipeline import main
+    res = main(n_regions=3, n_days=150, n_eps=4)
+    out = capsys.readouterr().out
+    assert "negative-revision" in out and "finite" in out
+    assert len(res.trained.names) == 3

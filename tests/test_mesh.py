@@ -151,3 +151,24 @@ def test_pipeline_mesh_rejects_indivisible_pareto_chunk():
                      NPI_MAXES_DEFAULT, 70,
                      PipelineConfig(backend="lanes", pareto_chunk=3),
                      mesh=mesh)
+
+
+def test_pad_for_mesh_per_device_tiles():
+    """Every device's lane shard must be a kernel-tile multiple
+    (ops/pallas/shard.py): narrow 128 tiles for small batches, wide 512
+    for production batches, scaled by the device count."""
+    from epidemicmodeling_tpu.ops.pallas.shard import pad_for_mesh
+
+    n, pad = pad_for_mesh(235, None)
+    assert (n, (235 + pad) % 128) == (1, 0) and pad < 128
+    n, pad = pad_for_mesh(470_000, None)           # production: wide tiles
+    assert (470_000 + pad) % 512 == 0
+
+    mesh = make_mesh(8)
+    n, pad = pad_for_mesh(235, mesh)               # 8 shards of >=1 tile
+    assert n == 8 and (235 + pad) % (128 * 8) == 0
+    n, pad = pad_for_mesh(470_000, mesh)
+    assert (470_000 + pad) % (512 * 8) == 0
+    # boundary: exactly at the wide-tile threshold per device
+    n, pad = pad_for_mesh(2048 * 8, mesh)
+    assert pad == 0
