@@ -22,6 +22,30 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+import contextlib
+import signal
+
+
+@contextlib.contextmanager
+def _deadline(seconds, what):
+    """Abort an OPTIONAL bench leg if the axon-side compile service wedges
+    (observed: fresh compiles of big executables blocking 30+ min with the
+    process idle in the tunnel RPC). SIGALRM is delivered because the RPC
+    wait releases the GIL. The core north-star metric is NOT guarded — a
+    bench with no headline number is useless — but the anchors/saturation/
+    backtest legs degrade to null rather than hanging the whole artifact."""
+    def raise_timeout(signum, frame):
+        raise TimeoutError(f"{what}: exceeded {seconds}s deadline")
+
+    prev = signal.signal(signal.SIGALRM, raise_timeout)
+    signal.alarm(int(seconds))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
+
+
 # --------------------------------------------------------------------------
 # Roofline accounting (all-VPU workload: the MXU is idle by design — the
 # 6x6 algebra is elementwise over lanes, far below the 128x128 MXU tile)
@@ -246,9 +270,15 @@ def main():
         f" | front sizes head: {front.sum(axis=0)[:5]}")
 
     # ---- roofline: measured machine anchors vs achieved Pareto-stage rates
-    hbm_peak_gbps, vpu_peak_gflops = measure_machine_anchors(jax)
-    log(f"machine anchors (measured): HBM stream {hbm_peak_gbps:.0f} GB/s, "
-        f"VPU f32 {vpu_peak_gflops:.0f} GFLOP/s")
+    hbm_peak_gbps = vpu_peak_gflops = None
+    try:
+        with _deadline(300, "machine anchors"):
+            hbm_peak_gbps, vpu_peak_gflops = measure_machine_anchors(jax)
+        log(f"machine anchors (measured): HBM stream "
+            f"{hbm_peak_gbps:.0f} GB/s, "
+            f"VPU f32 {vpu_peak_gflops:.0f} GFLOP/s")
+    except Exception as e:
+        log(f"machine anchors skipped ({type(e).__name__}: {e})")
 
     baseline_target_s = 60.0
     filter_days = lanes * (T_HIST + HORIZON)
@@ -256,50 +286,105 @@ def main():
     achieved_gflops = fd_per_s * FLOPS_PER_FILTER_DAY_6STATE / 1e9
     achieved_hbm_gbps = fd_per_s * HBM_BYTES_PER_FILTER_DAY / 1e9
 
+    # ---- backtest leg: the paper's headline evaluation at its scale
+    # (235 regions x 60 holdout starts x 60-day look-ahead, a full 3-state
+    # EKF/EKS rerun per (region, start) lane; ForecastQualityAssessment.m:
+    # 374-416 does these serially) — committed so docs/PERFORMANCE.md's
+    # backtest number is re-measured every round, not asserted
+    backtest = None
+    if R_REGIONS >= 100:
+        try:
+            with _deadline(900, "backtest leg"):
+                from epidemicmodeling_tpu.pipelines.forecast_quality import \
+                    forecast_quality_assessment
+                S_BT, H_BT = 60, 60
+                # regression over the FULL training window, like the
+                # XPRIZE driver (start_regression_date = start_train_date
+                # in testPrescribeXPRIZE02.m). Also sidesteps an XLA
+                # scheduling pathology: certain offset-window combos
+                # (e.g. T=380, nreg=320) compile a train executable that
+                # runs 5-15x slower (see CLAUDE.md)
+                for _ in range(2):           # first call compiles
+                    t4 = time.time()
+                    # batch_train: real observations end-to-end (the
+                    # backtest masks its own holdout tails; batch_full's
+                    # horizon is NaN by design)
+                    bt = forecast_quality_assessment(
+                        batch_train, np.zeros(12), NPI_MAXES_DEFAULT,
+                        num_regression_days=T_HIST - S_BT,
+                        num_forecast_days=S_BT, max_look_ahead_days=H_BT,
+                        cfg=cfg)
+                    # HOST fetch, not block_until_ready: through the
+                    # axon tunnel block_until_ready can return before
+                    # device work completes, contaminating the next leg
+                    float(np.asarray(bt.mean_error_smooth).sum())
+                    bt_s = time.time() - t4
+                bt_fd = R_REGIONS * S_BT * T_HIST
+                backtest = {
+                    "regions": R_REGIONS, "starts": S_BT,
+                    "look_ahead_days": H_BT,
+                    "wallclock_s": round(bt_s, 3),
+                    "filter_days": bt_fd,
+                    "filter_days_per_s": round(bt_fd / bt_s, 0),
+                }
+                log(f"backtest {R_REGIONS}x{S_BT} starts: {bt_s:.2f}s warm "
+                    f"({bt_fd / bt_s / 1e6:.1f}M filter-days/s)")
+        except Exception as e:
+            log(f"backtest leg skipped ({type(e).__name__}: {e})")
+
     # ---- saturation datapoint: 235 x 2000 eps, costs+prescriptions only
     # (pareto_store_trajectories=False) — the VPU-bound regime the 150M/s
     # claim lives in; measured, not asserted (round-2 verdict weak #4)
     sat = None
     if R_REGIONS >= 100 and E_PARETO <= 1000:   # skip in small smoke runs
-        import dataclasses
-        E_SAT = 2000
-        cfg_sat = dataclasses.replace(cfg, pareto_store_trajectories=False)
-        eps_sat = np.asarray(epsilon_grid(E_SAT))
-        train_out = train_regions(batch_train, np.zeros(12),
-                                  NPI_MAXES_DEFAULT, T_HIST, cfg_sat)
-        _, s_hist = forecast_scenarios(
-            batch_full, train_out.trained, train_out.init, np.ones(12),
-            np.zeros(12), NPI_MAXES_DEFAULT, T_HIST, cfg_sat)
-        jax.block_until_ready(s_hist)
-        for attempt in range(2):                # first call compiles
-            t3 = time.time()
-            par = pareto_prescribe(
-                batch_full, train_out.trained, train_out.init, s_hist,
-                eps_sat, np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT,
-                T_HIST, cfg_sat, key=jax.random.PRNGKey(0))
-            jax.block_until_ready(par["J0"])
-            sat_s = time.time() - t3
-        sat_fd = R_REGIONS * E_SAT * (T_HIST + HORIZON)
-        sat_fd_per_s = sat_fd / sat_s
-        n_chunks = -(-E_SAT // cfg.pareto_chunk)
-        sat = {
-            "regions": R_REGIONS, "eps": E_SAT,
-            "pareto_s": round(sat_s, 3),
-            "filter_days_per_s": round(sat_fd_per_s, 0),
-            "achieved_gflops": round(
-                sat_fd_per_s * FLOPS_PER_FILTER_DAY_6STATE / 1e9, 1),
-            "achieved_hbm_gbps": round(
-                sat_fd_per_s * HBM_BYTES_PER_FILTER_DAY / 1e9, 1),
-            "pct_vpu_peak": round(
-                100 * sat_fd_per_s * FLOPS_PER_FILTER_DAY_6STATE
-                / 1e9 / vpu_peak_gflops, 1),
-            "n_host_chunks": n_chunks,
-        }
-        log(f"saturation {R_REGIONS}x{E_SAT}: {sat_s:.2f}s pareto = "
-            f"{sat_fd_per_s/1e6:.1f}M filter-days/s = "
-            f"{sat['achieved_gflops']} GFLOP/s "
-            f"({sat['pct_vpu_peak']}% of measured VPU peak) over "
-            f"{n_chunks} host-dispatched chunks")
+        try:
+            with _deadline(900, "saturation leg"):
+                import dataclasses
+                E_SAT = 2000
+                cfg_sat = dataclasses.replace(
+                    cfg, pareto_store_trajectories=False)
+                eps_sat = np.asarray(epsilon_grid(E_SAT))
+                train_out = train_regions(batch_train, np.zeros(12),
+                                          NPI_MAXES_DEFAULT, T_HIST, cfg_sat)
+                _, s_hist = forecast_scenarios(
+                    batch_full, train_out.trained, train_out.init,
+                    np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT, T_HIST,
+                    cfg_sat)
+                jax.block_until_ready(s_hist)
+                for attempt in range(2):        # first call compiles
+                    t3 = time.time()
+                    par = pareto_prescribe(
+                        batch_full, train_out.trained, train_out.init,
+                        s_hist, eps_sat, np.ones(12), np.zeros(12),
+                        NPI_MAXES_DEFAULT, T_HIST, cfg_sat,
+                        key=jax.random.PRNGKey(0))
+                    float(np.asarray(par["J0"]).sum())  # host fetch
+                    sat_s = time.time() - t3
+                sat_fd = R_REGIONS * E_SAT * (T_HIST + HORIZON)
+                sat_fd_per_s = sat_fd / sat_s
+                n_chunks = -(-E_SAT // cfg.pareto_chunk)
+                sat = {
+                    "regions": R_REGIONS, "eps": E_SAT,
+                    "pareto_s": round(sat_s, 3),
+                    "filter_days_per_s": round(sat_fd_per_s, 0),
+                    "achieved_gflops": round(
+                        sat_fd_per_s * FLOPS_PER_FILTER_DAY_6STATE / 1e9,
+                        1),
+                    "achieved_hbm_gbps": round(
+                        sat_fd_per_s * HBM_BYTES_PER_FILTER_DAY / 1e9, 1),
+                    "pct_vpu_peak": (None if vpu_peak_gflops is None else
+                                     round(100 * sat_fd_per_s
+                                           * FLOPS_PER_FILTER_DAY_6STATE
+                                           / 1e9 / vpu_peak_gflops, 1)),
+                    "n_host_chunks": n_chunks,
+                }
+                log(f"saturation {R_REGIONS}x{E_SAT}: {sat_s:.2f}s pareto "
+                    f"= {sat_fd_per_s/1e6:.1f}M filter-days/s = "
+                    f"{sat['achieved_gflops']} GFLOP/s "
+                    f"({sat['pct_vpu_peak']}% of measured VPU peak) over "
+                    f"{n_chunks} host-dispatched chunks")
+        except Exception as e:
+            log(f"saturation leg skipped ({type(e).__name__}: {e})")
 
     print(json.dumps({
         "metric": ("xprize_train_predict_prescribe_"
@@ -337,16 +422,22 @@ def main():
         "roofline": {
             "flops_per_filter_day": FLOPS_PER_FILTER_DAY_6STATE,
             "hbm_bytes_per_filter_day": HBM_BYTES_PER_FILTER_DAY,
-            "measured_hbm_stream_gbps": round(hbm_peak_gbps, 0),
-            "measured_vpu_f32_gflops": round(vpu_peak_gflops, 0),
+            "measured_hbm_stream_gbps": (
+                None if hbm_peak_gbps is None else round(hbm_peak_gbps, 0)),
+            "measured_vpu_f32_gflops": (
+                None if vpu_peak_gflops is None
+                else round(vpu_peak_gflops, 0)),
             "achieved_gflops": round(achieved_gflops, 1),
             "achieved_hbm_gbps": round(achieved_hbm_gbps, 1),
-            "pct_vpu_peak": round(
-                100 * achieved_gflops / vpu_peak_gflops, 1),
-            "pct_hbm_peak": round(
-                100 * achieved_hbm_gbps / hbm_peak_gbps, 1),
+            "pct_vpu_peak": (
+                None if vpu_peak_gflops is None
+                else round(100 * achieved_gflops / vpu_peak_gflops, 1)),
+            "pct_hbm_peak": (
+                None if hbm_peak_gbps is None
+                else round(100 * achieved_hbm_gbps / hbm_peak_gbps, 1)),
         },
         "saturation": sat,
+        "backtest": backtest,
     }))
 
 
