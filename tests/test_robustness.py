@@ -100,3 +100,55 @@ def test_multi_year_horizon():
     assert np.isfinite(np.asarray(par["J0"])).all()
     # bang-bang discreteness holds over the long horizon too
     assert np.all((u_p == 0) | (u_p == NPI_MAXES_DEFAULT[None, None, None, :]))
+
+
+def test_cleaning_layer_fuzz_invariants():
+    """Randomized pathological inputs (all NaN patterns x negative
+    revisions x zero runs x constant tails) must never break the cleaning
+    invariants of TrainPredictPrescribeNPI.m:121-170: finite non-negative
+    refined new cases, finite NPI fills drawn from observed levels or 0,
+    idempotent forward-fill, and a finite end-to-end RegionSeries."""
+    from epidemicmodeling_tpu.data.preprocess import (
+        clean_case_series, forward_fill_npis, preprocess_region)
+
+    rng = np.random.default_rng(42)
+    for trial in range(50):
+        T = int(rng.integers(3, 120))
+        confirmed = np.cumsum(np.abs(rng.normal(10, 20, T)))
+        # random pathologies, jointly
+        if rng.random() < 0.7:                       # NaN holes
+            confirmed[rng.integers(0, T, size=rng.integers(1, max(2, T // 3)))] = np.nan
+        if rng.random() < 0.5:                       # negative revisions
+            t0 = int(rng.integers(1, T))
+            confirmed[t0:] -= float(rng.uniform(0, confirmed[~np.isnan(confirmed)].max()))
+        if rng.random() < 0.5:                       # trailing NaN
+            confirmed[-1] = np.nan
+        if rng.random() < 0.3:                       # leading NaN run
+            confirmed[: int(rng.integers(1, T))] = np.nan
+        if rng.random() < 0.3:                       # flat (gap) runs
+            g = int(rng.integers(0, T - 1))
+            confirmed[g:] = confirmed[g] if np.isfinite(confirmed[g]) else 0.0
+
+        refined, ok = clean_case_series(confirmed)
+        assert refined.shape == confirmed.shape
+        assert np.isfinite(refined).all(), f"trial {trial}: NaN survived"
+        assert (refined >= 0).all(), f"trial {trial}: negative new cases"
+
+        P = int(rng.integers(1, 13))
+        npis = rng.integers(0, 4, (T, P)).astype(float)
+        mask = rng.random((T, P)) < 0.4
+        npis[mask] = np.nan
+        filled = forward_fill_npis(npis)
+        assert np.isfinite(filled).all()
+        # every filled value is a previously observed level or 0
+        for j in range(P):
+            obs_levels = set(npis[:, j][np.isfinite(npis[:, j])]) | {0.0}
+            assert set(filled[:, j]).issubset(obs_levels), f"trial {trial}"
+        # idempotence
+        np.testing.assert_array_equal(forward_fill_npis(filled), filled)
+
+        s = preprocess_region(confirmed, None, npis, 1e6)
+        assert np.isfinite(s.new_cases_smoothed).all()
+        assert np.isfinite(s.obs_noise_var).all()
+        assert (s.obs_noise_var >= 0).all()
+        assert np.isfinite(s.npis).all()
