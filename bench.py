@@ -300,10 +300,7 @@ def main():
                 S_BT, H_BT = 60, 60
                 # regression over the FULL training window, like the
                 # XPRIZE driver (start_regression_date = start_train_date
-                # in testPrescribeXPRIZE02.m). Also sidesteps an XLA
-                # scheduling pathology: certain offset-window combos
-                # (e.g. T=380, nreg=320) compile a train executable that
-                # runs 5-15x slower (see CLAUDE.md)
+                # in testPrescribeXPRIZE02.m)
                 for _ in range(2):           # first call compiles
                     t4 = time.time()
                     # batch_train: real observations end-to-end (the

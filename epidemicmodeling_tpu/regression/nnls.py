@@ -25,13 +25,56 @@ import jax
 import jax.numpy as jnp
 
 
+def _chol_solve_small(A, b):
+    """SPD solve with a fully unrolled Cholesky (static p): pure
+    elementwise XLA ops that fuse into the surrounding while-loop body.
+
+    Why not ``jnp.linalg.solve``: on TPU it lowers to an LU custom-call
+    that costs ~0.7 ms per invocation and cannot fuse. The NNLS active-set
+    loops issue up to ~5k of them SERIALLY per training call (profiled:
+    the entire 3.3 s of a pathological train stage was these custom-calls
+    inside while.378/while.387), so the train stage was solver-dispatch
+    bound. Unrolled at p = 12 this is ~10 us and fuses away entirely.
+    """
+    p = A.shape[0]
+    tiny = jnp.finfo(A.dtype).tiny
+    L = [[None] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i + 1):
+            acc = A[i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.where(acc > tiny, acc, tiny))
+            else:
+                L[i][j] = acc / L[j][j]
+    yv = [None] * p
+    for i in range(p):
+        acc = b[i]
+        for k in range(i):
+            acc = acc - L[i][k] * yv[k]
+        yv[i] = acc / L[i][i]
+    xv = [None] * p
+    for i in range(p - 1, -1, -1):
+        acc = yv[i]
+        for k in range(i + 1, p):
+            acc = acc - L[k][i] * xv[k]
+        xv[i] = acc / L[i][i]
+    return jnp.stack(xv)
+
+
 def _masked_ls(G, c, P):
     """Least-squares solution restricted to the passive set P (boolean (p,)):
-    solve G[P,P] z[P] = c[P], z[~P] = 0, via a full-size masked solve."""
+    solve G[P,P] z[P] = c[P], z[~P] = 0, via a full-size masked solve.
+    The masked system is SPD (G = X'X restricted to the passive set, with
+    identity padding on the active rows), so the small-p Cholesky applies;
+    large p falls back to the LAPACK-style solve."""
     p = G.shape[0]
     eye = jnp.eye(p, dtype=G.dtype)
     A = jnp.where(P[:, None] & P[None, :], G, eye)
     b = jnp.where(P, c, 0.0)
+    if p <= 16:
+        return _chol_solve_small(A, b)
     return jnp.linalg.solve(A, b)
 
 
