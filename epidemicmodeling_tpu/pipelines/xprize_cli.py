@@ -67,6 +67,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     choices=["vmap", "lanes", "pallas"],
                     help="compute backend (pallas falls back to lanes off-TPU)")
     ap.add_argument("--pareto-chunk", type=int, default=32)
+    ap.add_argument("--observation-type", default="NEWCASES",
+                    choices=["NEWCASES", "TOTALCASES"],
+                    help="EKF observation model (SIAlphaModelEKF.m:51-58)")
+    ap.add_argument("--num-monte-carlo", type=int, default=500,
+                    help="random-NPI baseline rollouts per region "
+                         "(TrainPredictPrescribeNPI.m:497)")
+    ap.add_argument("--stochastic-forecast", action="store_true",
+                    help="inject process noise into the forecast rollouts "
+                         "(SIalpha_Controlled.m noise terms; default: "
+                         "deterministic)")
     ap.add_argument("--cpu-devices", type=int, default=None,
                     help="force the CPU platform with N virtual devices "
                          "(smoke-tests --mesh without TPU hardware; the "
@@ -114,7 +124,10 @@ def main(argv=None) -> int:
         print("note: pallas backend requested off-TPU; using lanes",
               file=sys.stderr)
         backend = "lanes"
-    cfg = PipelineConfig(backend=backend, pareto_chunk=args.pareto_chunk)
+    cfg = PipelineConfig(backend=backend, pareto_chunk=args.pareto_chunk,
+                         observation_type=args.observation_type,
+                         num_monte_carlo=args.num_monte_carlo,
+                         stochastic_forecast=args.stochastic_forecast)
 
     trained = None
     if args.load_params:

@@ -344,3 +344,28 @@ def test_mat_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(t2.b1, t.b1)
     np.testing.assert_allclose(t2.a2, t.a2)
     np.testing.assert_allclose(t2.b2, t.b2)
+
+
+def test_cli_config_toggles(cli_files):
+    """--observation-type/--num-monte-carlo/--stochastic-forecast reach the
+    PipelineConfig and produce a complete run (TOTALCASES observation model
+    + stochastic rollouts; SIAlphaModelEKF.m:51-58, SIalpha_Controlled.m)."""
+    tmp, _ = cli_files
+    from epidemicmodeling_tpu.pipelines.xprize_cli import main
+    rc = main([
+        "--data", str(tmp / "oxford.csv"),
+        "--geos", str(tmp / "geos.csv"),
+        "--populations", str(tmp / "populations.csv"),
+        "--start-train", "2020-03-01", "--end-train", "2020-06-15",
+        "--end-predict", "2020-07-05",
+        "--num-epsilon", "4", "--pareto-chunk", "2",
+        "--backend", "lanes", "--float64",
+        "--observation-type", "TOTALCASES",
+        "--num-monte-carlo", "8", "--stochastic-forecast",
+        "--prescriptions-out", str(tmp / "p.csv"),
+        "--summary-out", str(tmp / "s.json"),
+    ])
+    assert rc == 0
+    s = json.loads((tmp / "s.json").read_text())
+    assert len(s["epsilon"]) == 4
+    assert all(np.isfinite(v) for v in s["J0_mean_per_eps"])
