@@ -571,7 +571,13 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
             run, kernel_args = shard_map_lanes(
                 run, mesh, kernel_args, ("ep", "dp"), n_out=3)
         _, u_sm_p, _ = run(*kernel_args)
-        u_sm = u_sm_p[..., :Bl].astype(fdtype)             # (T, P, Bl)
+        # keep the PADDED lane axis through the rollout and per-lane cost
+        # reductions: slicing the (T, P, B) kernel output back to Bl lanes
+        # copied ~150 MB per chunk (profiled at ~20% of the whole sweep);
+        # the pad lanes compute throwaway values and are dropped only from
+        # the small per-lane outputs at the end
+        u_sm = u_sm_p.astype(fdtype)                       # (T, P, Bl+pad)
+        rp = params_p
     else:
         res = ekf_smoother_bl(
             si_alpha_costate_ekf_system_bl(cfg.observation_type),
@@ -582,26 +588,27 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
             gamma_discount=cfg.gamma_ekf, joseph=True,
             unroll=cfg.scan_unroll)
         u_sm = res.u_opt_smooth                            # (T, P, Bl)
+        rp = params_bl
+        padl = lambda a: a
 
-    u_presc_bl = u_sm[T_hist:]                             # (H, P, Bl)
-    s_hist_bl = tile_lanes(s_hist)                         # (T_hist, 3, Bl)
+    u_presc_bl = u_sm[T_hist:]                             # (H, P, B)
+    s_hist_bl = padl(tile_lanes(s_hist))                   # (T_hist, 3, B)
     s0_bl = s_hist_bl[-1]
     if cfg.stochastic_forecast:
         # SAME per-epsilon keys and draw shapes as the vmap path
         # (per_eps -> _rollout_from draws normal(k_eps, (R, H, 3))), so the
         # backends agree bit-for-bit in stochastic mode too — one draw per
-        # epsilon, laid out lane-last
+        # epsilon, laid out lane-last (pad lanes replicate lane 0's draws
+        # and are discarded)
         noise_er = jax.vmap(
             lambda k: jax.random.normal(k, (R, H, 3), fdtype))(key_chunk)
-        noise = noise_er.transpose(2, 3, 0, 1).reshape(H, 3, Bl)
+        noise = padl(noise_er.transpose(2, 3, 0, 1).reshape(H, 3, Bl))
         noise_std = jnp.stack([
-            tile_lanes(s_noise_std), tile_lanes(i_noise_std),
-            jnp.full((Bl,), cfg.alpha_noise_std, fdtype)])
+            padl(tile_lanes(s_noise_std)), padl(tile_lanes(i_noise_std)),
+            jnp.full((u_sm.shape[-1],), cfg.alpha_noise_std, fdtype)])
     else:
-        noise = jnp.zeros((H, 3, Bl), fdtype)
-        noise_std = jnp.zeros((3, Bl), fdtype)
-
-    rp = params_bl
+        noise = jnp.zeros((H, 3, u_sm.shape[-1]), fdtype)
+        noise_std = jnp.zeros((3, u_sm.shape[-1]), fdtype)
 
     def roll_step(sv, inp):
         u_t, n_t = inp
@@ -619,17 +626,20 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
         return nxt, nxt
 
     _, traj = jax.lax.scan(roll_step, s0_bl, (u_presc_bl, noise))
-    full_states = jnp.concatenate([s_hist_bl, traj], axis=0)   # (T, 3, Bl)
+    full_states = jnp.concatenate([s_hist_bl, traj], axis=0)   # (T, 3, B)
     cases = full_states[:, 0] * full_states[:, 1] * full_states[:, 2]
-    J0 = jnp.mean(cases, axis=0)
-    J1 = jnp.mean(tile_lanes(w_vec)[None] * u_sm, axis=(0, 1))
+    # per-lane reductions run on the padded lanes; only the small (Bl,)
+    # results are sliced back (see the padded-lane note above)
+    J0 = jnp.mean(cases, axis=0)[:Bl]
+    J1 = jnp.mean(padl(tile_lanes(w_vec))[None] * u_sm, axis=(0, 1))[:Bl]
 
-    unb = lambda a: jnp.moveaxis(a.reshape(a.shape[:-1] + (Ec, R)),
+    unb = lambda a: jnp.moveaxis(a[..., :Bl].reshape(a.shape[:-1] + (Ec, R)),
                                  (-2, -1), (0, 1))
     s_out = unb(full_states[:, 0])
     i_out = unb(full_states[:, 1])
     al_out = unb(full_states[:, 2])
-    u_out = jnp.transpose(u_presc_bl.reshape(H, P, Ec, R), (2, 3, 0, 1))
+    u_out = jnp.transpose(
+        u_presc_bl[..., :Bl].reshape(H, P, Ec, R), (2, 3, 0, 1))
     return (J0.reshape(Ec, R), J1.reshape(Ec, R), s_out, i_out, al_out,
             u_out)
 
