@@ -633,13 +633,19 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
     J0 = jnp.mean(cases, axis=0)[:Bl]
     J1 = jnp.mean(padl(tile_lanes(w_vec))[None] * u_sm, axis=(0, 1))[:Bl]
 
+    u_out = jnp.transpose(
+        u_presc_bl[..., :Bl].reshape(H, P, Ec, R), (2, 3, 0, 1))
+    if not cfg.pareto_store_trajectories:
+        # the caller drops the (E, R, T) trajectories in this mode — return
+        # None so XLA dead-code-eliminates their transposes (~110 MB/chunk
+        # of writes at saturation scale) instead of materializing them
+        return (J0.reshape(Ec, R), J1.reshape(Ec, R), None, None, None,
+                u_out)
     unb = lambda a: jnp.moveaxis(a[..., :Bl].reshape(a.shape[:-1] + (Ec, R)),
                                  (-2, -1), (0, 1))
     s_out = unb(full_states[:, 0])
     i_out = unb(full_states[:, 1])
     al_out = unb(full_states[:, 2])
-    u_out = jnp.transpose(
-        u_presc_bl[..., :Bl].reshape(H, P, Ec, R), (2, 3, 0, 1))
     return (J0.reshape(Ec, R), J1.reshape(Ec, R), s_out, i_out, al_out,
             u_out)
 
