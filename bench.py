@@ -26,6 +26,11 @@ import contextlib
 import signal
 
 
+class _BenchDeadline(TimeoutError):
+    """Raised only by _deadline — distinct from tunnel socket timeouts
+    (TimeoutError subclasses) so except clauses don't misclassify them."""
+
+
 @contextlib.contextmanager
 def _deadline(seconds, what):
     """Abort an OPTIONAL bench leg if the axon-side compile service wedges
@@ -35,7 +40,7 @@ def _deadline(seconds, what):
     bench with no headline number is useless — but the anchors/saturation/
     backtest legs degrade to null rather than hanging the whole artifact."""
     def raise_timeout(signum, frame):
-        raise TimeoutError(f"{what}: exceeded {seconds}s deadline")
+        raise _BenchDeadline(f"{what}: exceeded {seconds}s deadline")
 
     prev = signal.signal(signal.SIGALRM, raise_timeout)
     signal.alarm(int(seconds))
@@ -92,8 +97,6 @@ def measure_machine_anchors(jax):
     intensity 128 FLOP/byte, far past the ridge, so compute-bound.
     HBM: one read+write streaming pass (x + 1) over 1 GB.
     """
-    import functools
-
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -243,7 +246,7 @@ def main():
         # bench must still emit an artifact rather than hang the driver
         with _deadline(1800, "cold run"):
             front, _ = run_once(cfg)
-    except TimeoutError as e:
+    except _BenchDeadline as e:
         log(f"cold run wedged ({e}); emitting diagnostic artifact")
         print(json.dumps({
             "metric": ("xprize_train_predict_prescribe_"
@@ -263,7 +266,8 @@ def main():
         import dataclasses
         cfg = dataclasses.replace(cfg, backend="lanes")
         t1 = time.time()
-        front, _ = run_once(cfg)
+        with _deadline(1800, "lanes-fallback cold run"):
+            front, _ = run_once(cfg)
     cold = time.time() - t1
     log(f"cold run (incl. compile): {cold:.1f}s")
 
@@ -276,7 +280,8 @@ def main():
         warms.append(time.time() - t2)
         stage_list.append(stages)
     warm = min(warms)
-    pareto_s = stage_list[int(np.argmin(warms))]["pareto"]
+    best_stages = stage_list[int(np.argmin(warms))]
+    pareto_s = best_stages["pareto"]
     log("warm runs: " + ", ".join(f"{w:.2f}s" for w in warms)
         + f" -> best {warm:.2f}s")
 
@@ -356,12 +361,16 @@ def main():
                 cfg_sat = dataclasses.replace(
                     cfg, pareto_store_trajectories=False)
                 eps_sat = np.asarray(epsilon_grid(E_SAT))
+                # cfg (not cfg_sat) for train/scenarios: their jits take
+                # cfg as a static arg and do not read the trajectories
+                # flag, so passing cfg_sat would force a pointless
+                # recompile inside the guarded window
                 train_out = train_regions(batch_train, np.zeros(12),
-                                          NPI_MAXES_DEFAULT, T_HIST, cfg_sat)
+                                          NPI_MAXES_DEFAULT, T_HIST, cfg)
                 _, s_hist = forecast_scenarios(
                     batch_full, train_out.trained, train_out.init,
                     np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT, T_HIST,
-                    cfg_sat)
+                    cfg)
                 jax.block_until_ready(s_hist)
                 for attempt in range(2):        # first call compiles
                     t3 = time.time()
@@ -422,7 +431,7 @@ def main():
             "flops_per_filter_day": FLOPS_PER_FILTER_DAY_3STATE,
             "hbm_bytes_per_filter_day": HBM_BYTES_PER_FILTER_DAY_3STATE,
             "filter_days": 2 * R_REGIONS * T_HIST,
-            "stage_s": round(stage_list[int(np.argmin(warms))]["train"], 3),
+            "stage_s": round(best_stages["train"], 3),
             "achieved_gflops": round(
                 2 * R_REGIONS * T_HIST
                 * FLOPS_PER_FILTER_DAY_3STATE / 1e9

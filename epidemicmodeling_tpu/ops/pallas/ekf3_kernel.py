@@ -475,11 +475,10 @@ def ekf3_pallas_lanes(u_bl, x_bl, Rv_bl, params_bl, Q_bl, s_init_bl,
     filters; no collectives). The pad is then per-device: every shard must
     itself be a tile multiple.
     """
-    from .shard import pad_for_mesh, shard_map_lanes
+    from .shard import pad_for_mesh, pad_lanes, shard_map_lanes
     B = x_bl.shape[-1]
     n_dev, pad = pad_for_mesh(B, mesh)
-    padl = lambda a: (a if pad == 0 else jnp.concatenate(
-        [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
+    padl = pad_lanes(pad)
     f32 = jnp.float32
     s_final_p = (jnp.full((3, B + pad), jnp.nan, f32)
                  if s_final_bl is None else padl(s_final_bl))

@@ -26,6 +26,18 @@ def pad_for_mesh(B: int, mesh) -> tuple[int, int]:
     return n_dev, (-B) % (tile * n_dev)
 
 
+def pad_lanes(pad: int):
+    """The lane-padding transform paired with pad_for_mesh: replicate lane 0
+    into ``pad`` extra trailing lanes (single implementation so the pad
+    strategy cannot diverge between the kernel entry points)."""
+    import jax.numpy as jnp
+
+    if pad == 0:
+        return lambda a: a
+    return lambda a: jnp.concatenate(
+        [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1)
+
+
 def shard_map_lanes(run, mesh, args, axis_order, n_out: int):
     """Wrap ``run`` so each mesh device executes it on its shard of the
     LAST (lane) axis of every arg.

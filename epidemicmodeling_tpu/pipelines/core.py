@@ -546,12 +546,12 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
     if cfg.backend == "pallas":
         from ..ops.pallas.ekf6_kernel import (ekf6_pallas,
                                               pack_params_for_kernel)
-        from ..ops.pallas.shard import pad_for_mesh, shard_map_lanes
+        from ..ops.pallas.shard import (pad_for_mesh, pad_lanes,
+                                        shard_map_lanes)
         # pad lanes to the kernel tile; under a mesh the pad is per-DEVICE
         # (each shard of the lane axis must itself be a tile multiple)
         n_dev, pad = pad_for_mesh(Bl, mesh)
-        padl = lambda a: (a if pad == 0 else jnp.concatenate(
-            [a, jnp.repeat(a[..., :1], pad, axis=-1)], axis=-1))
+        padl = pad_lanes(pad)
         params_p = {k: padl(v) for k, v in params_bl.items()}
         scal, vecs = pack_params_for_kernel(params_p, padl(tile_lanes(QQ)))
         interp = jax.default_backend() not in ("tpu", "axon")

@@ -37,7 +37,6 @@ def _chol_solve_small(A, b):
     bound. Unrolled at p = 12 this is ~10 us and fuses away entirely.
     """
     p = A.shape[0]
-    tiny = jnp.finfo(A.dtype).tiny
     L = [[None] * p for _ in range(p)]
     for i in range(p):
         for j in range(i + 1):
@@ -45,7 +44,12 @@ def _chol_solve_small(A, b):
             for k in range(j):
                 acc = acc - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(jnp.where(acc > tiny, acc, tiny))
+                # NO clamp (unlike the EKS kernels, where SPD holds by
+                # construction): a singular masked system — e.g. two
+                # exactly collinear NPI columns in the passive set — must
+                # poison the result with NaN/Inf like the previous
+                # jnp.linalg.solve did, not return huge finite garbage
+                L[i][j] = jnp.sqrt(acc)
             else:
                 L[i][j] = acc / L[j][j]
     yv = [None] * p

@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main(n_regions: int = 4, n_days: int = 200, n_eps: int = 6, seed: int = 7):
+    import datetime
+
     import jax
     from epidemicmodeling_tpu.data import realistic_oxford_frame
     from epidemicmodeling_tpu.data.preprocess import NPI_MAXES_DEFAULT
@@ -43,12 +45,18 @@ def main(n_regions: int = 4, n_days: int = 200, n_eps: int = 6, seed: int = 7):
         print(f"raw data: {nan_frac:.1%} NaN case days, "
               f"{neg_days} negative-revision days, {nan_npis} NaN NPI cells")
 
+        # train on the first ~85% of the generated window, predict the rest
+        # (dates derived from the generator's own start/n_days so the split
+        # matches the data regardless of n_days)
+        d0 = datetime.date(2020, 3, 1)
+        d_train = (d0 + datetime.timedelta(days=int(n_days * 0.85))).isoformat()
+        d_end = (d0 + datetime.timedelta(days=n_days - 1)).isoformat()
         res = train_predict_prescribe(
             npi_weights=np.ones(12),
             epsilon_values=np.asarray(epsilon_grid(n_eps)),
-            start_train_date="2020-03-01", end_train_date="2020-08-17",
-            start_regression_date="2020-03-01",
-            end_predict_date="2020-09-16",
+            start_train_date=d0.isoformat(), end_train_date=d_train,
+            start_regression_date=d0.isoformat(),
+            end_predict_date=d_end,
             data_file=os.path.join(tmp, "oxford.csv"),
             geo_file=os.path.join(tmp, "geos.csv"),
             populations_file=os.path.join(tmp, "populations.csv"),
