@@ -172,3 +172,46 @@ def test_pad_for_mesh_per_device_tiles():
     # boundary: exactly at the wide-tile threshold per device
     n, pad = pad_for_mesh(2048 * 8, mesh)
     assert pad == 0
+
+
+def test_sharded_pallas_stochastic_matches_single_device():
+    """The deepest config stack — pallas kernels under shard_map, stochastic
+    forecast noise from per-epsilon keys sharded over ep — must still equal
+    the single-device run: the noise layout (eps-major lanes, padded with
+    replicated draws that never reach an output) interacts with the mesh
+    partitioning nowhere else tested."""
+    import jax
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        run_pipeline
+    from epidemicmodeling_tpu.control import epsilon_grid
+
+    _, _, truth = synthetic_oxford_frame(n_regions=4, n_days=100, seed=9)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:80], None,
+                                      tr["u"][:80], tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names)
+    bf = build_region_batch(sers, names, horizon=11)
+    cfg = PipelineConfig(backend="pallas", pareto_chunk=4,
+                         num_monte_carlo=8, smoother_gain="solve",
+                         stochastic_forecast=True)
+    kw = dict(npi_weights=np.ones(12),
+              epsilon_values=np.asarray(epsilon_grid(4)),
+              npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
+              num_regression_days=80, cfg=cfg,
+              key=jax.random.PRNGKey(3))
+
+    single = run_pipeline(bt, bf, None, 80, **kw)
+    sharded = run_pipeline(bt, bf, None, 80, mesh=make_mesh(8), **kw)
+    np.testing.assert_allclose(np.asarray(sharded.pareto["J0"]),
+                               np.asarray(single.pareto["J0"]),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.pareto["u_prescribed"]),
+        np.asarray(single.pareto["u_prescribed"]))
