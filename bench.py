@@ -140,6 +140,53 @@ def measure_machine_anchors(jax):
     return hbm_gbps, vpu_gflops
 
 
+def measure_hw_kernel_parity(jax):
+    """Bang-bang prescription disagreement rate between the fused Mosaic
+    kernel and the batch-last XLA core on THIS device — the bench-side twin
+    of tests/test_tpu_hardware.py::test_bang_bang_agreement_bound (512
+    lanes, half the epsilon grid at knife-edge magnitudes). Returns rates;
+    bounds (<0.005 overall, <0.001 at eps>=1e-3) are asserted by the test,
+    recorded here so every driver artifact carries the measurement."""
+    import jax.numpy as jnp
+
+    from epidemicmodeling_tpu.models.batch_last import \
+        si_alpha_costate_ekf_system_bl
+    from epidemicmodeling_tpu.ops.ekf_bl import ekf_smoother_bl
+    from epidemicmodeling_tpu.ops.pallas.ekf6_kernel import (
+        ekf6_pallas, pack_params_for_kernel)
+    from tests.test_ekf6_kernel import build
+
+    T_hist = 64
+    B = 512
+    u, x, Rv, params, s_init, Ps_init, Q, s_final, Ps_final = build(
+        B=B, T=96, T_hist=T_hist, seed=11)
+    rng = np.random.default_rng(0)
+    eps = np.concatenate([10.0 ** rng.uniform(-12, -2, B // 2),
+                          rng.uniform(0.01, 1.0, B - B // 2)])
+    params = dict(params)
+    params["epsilon"] = jnp.asarray(eps, jnp.float32)
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+    ref = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(), u, x, params, s_init, Ps_init,
+        s_final, Ps_final, Q=Q, R=Rv, gamma_discount=0.995)
+    scal, vecs = pack_params_for_kernel(params, Q)
+    _, usm, _ = ekf6_pallas(
+        u, x, Rv, scal, vecs, s_init, Ps_init.reshape(36, -1),
+        s_final, Ps_final.reshape(36, -1), gamma_discount=0.995,
+        interpret=interp)
+    a = np.asarray(usm[T_hist:-1])
+    b = np.asarray(ref.u_opt_smooth[T_hist:-1])
+    differ = a != b
+    lane_rate = differ.mean(axis=(0, 1))
+    return {
+        "bang_bang_disagree": round(float(differ.mean()), 6),
+        "bang_bang_disagree_hi_eps": round(
+            float(lane_rate[eps >= 1e-3].mean()), 6),
+        "lanes": B, "mode": "interpret" if interp else "mosaic",
+    }
+
+
 def main():
     import os
 
@@ -407,6 +454,22 @@ def main():
         except Exception as e:
             log(f"saturation leg skipped ({type(e).__name__}: {e})")
 
+    # ---- hardware kernel parity: the bang-bang disagreement bound from
+    # tests/test_tpu_hardware.py:23-66, run on THIS chip every bench so the
+    # artifact certifies Mosaic numerics (f32 op-order flips at knife-edge
+    # epsilon), not just speed. A kernel change that widens the divergence
+    # now fails in the driver artifact even with a green CPU suite.
+    hw_parity = None
+    try:
+        with _deadline(300, "hw kernel parity"):
+            hw_parity = measure_hw_kernel_parity(jax)
+        log(f"hw kernel parity: bang-bang disagree "
+            f"{hw_parity['bang_bang_disagree']:.5f} overall, "
+            f"{hw_parity['bang_bang_disagree_hi_eps']:.5f} at eps>=1e-3 "
+            f"(bounds 0.005 / 0.001)")
+    except Exception as e:
+        log(f"hw kernel parity skipped ({type(e).__name__}: {e})")
+
     print(json.dumps({
         "metric": ("xprize_train_predict_prescribe_"
                    f"{R_REGIONS}regions_{E_PARETO}eps_wallclock"),
@@ -459,6 +522,11 @@ def main():
         },
         "saturation": sat,
         "backtest": backtest,
+        "hw_kernel_parity": hw_parity,
+        # schema note: since round 3, filter_days_per_s divides by
+        # pareto_stage_s (the sweep's own time), NOT total warm wall-clock
+        # as in BENCH_r01/r02 — don't mix denominators across rounds
+        "filter_days_per_s_denominator": "pareto_stage_s",
     }))
 
 

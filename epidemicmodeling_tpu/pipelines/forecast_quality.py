@@ -126,10 +126,21 @@ def _forecast_quality_body(batch, npi_mins, npi_maxes, num_regression_days,
             R_v, truth_cases, pop, cfg=cfg, H=H, S=S)
 
     # aggregate over start days with a full look-ahead window
-    # (the reference averages over rows MaxLookAheadDays..end, :423-429)
+    # (the reference averages over rows MaxLookAheadDays..end, :423-429).
+    # Per-day errors stay faithful to ForecastQualityAssessment.m:390-391
+    # (divide-by-zero -> inf on zero-truth days) but the aggregates mask
+    # non-finite entries: on real series with reporting gaps a single
+    # zero-case day would otherwise poison the whole mean/median curve.
+    # All-masked (region, horizon) cells aggregate to NaN.
     sel = slice(H - 1, None) if S >= H else slice(0, None)
-    mean_sm = jnp.mean(err_smooth[:, sel, :], axis=1)
-    med_sm = jnp.median(err_smooth[:, sel, :], axis=1)
+    e = err_smooth[:, sel, :]
+    finite = jnp.isfinite(e)
+    n_ok = jnp.sum(finite, axis=1)
+    mean_sm = jnp.where(
+        n_ok > 0,
+        jnp.sum(jnp.where(finite, e, 0.0), axis=1) / jnp.maximum(n_ok, 1),
+        jnp.nan)
+    med_sm = jnp.nanmedian(jnp.where(finite, e, jnp.nan), axis=1)
     return BacktestResult(err_plus, err_smooth, mean_sm, med_sm,
                           train_out.trained)
 

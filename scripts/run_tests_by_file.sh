@@ -10,12 +10,28 @@
 set -u
 cd "$(dirname "$0")/.."
 fail=0
+tmp=$(mktemp)
+trap 'rm -f "$tmp"' EXIT
 for f in tests/test_*.py; do
   name=$(basename "$f")
-  out=$(/usr/bin/timeout -k 10 900 python -m pytest "$f" -q -n0 \
-        -p no:cacheprovider 2>&1 | tail -1)
-  echo "$name: $out"
-  case "$out" in *failed*|*error*) fail=1;; esac
+  /usr/bin/timeout -k 10 900 python -m pytest "$f" -q -n0 \
+        -p no:cacheprovider >"$tmp" 2>&1
+  rc=$?
+  out=$(tail -1 "$tmp")
+  # A segfaulted (139) or timed-out (124) pytest ends mid-line with
+  # neither "failed" nor "error" in the tail — trust the exit status,
+  # not the text (text kept only for the human-readable summary line).
+  if [ "$rc" -ne 0 ]; then
+    fail=1
+    case "$rc" in
+      124) status="TIMEOUT(900s)";;
+      139) status="SEGFAULT";;
+      *)   status="rc=$rc";;
+    esac
+    echo "$name: FAIL [$status] $out"
+  else
+    echo "$name: $out"
+  fi
 done
 [ "$fail" = 0 ] && echo ALL_DONE
 exit $fail

@@ -343,3 +343,28 @@ def test_kernel_adaptive_requires_monitor_window():
         ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init.reshape(36, -1),
                     s_final, Ps_final.reshape(36, -1), beta=0.9,
                     inv_monitor_len=0, interpret=True)
+
+
+def test_wide_tile_invariant_under_mesh_padding():
+    """pad_for_mesh + _pick_bt: every per-device shard that reaches 2048
+    lanes must get the wide 512 tile (the measured 55ms->41ms throughput
+    win). Narrow-path shards are provably < 2176 and the only >= 2048
+    value reachable is exactly 2048 = 4*512 — sweep B x n_dev to pin it."""
+    from epidemicmodeling_tpu.ops.pallas.ekf6_kernel import _pick_bt
+    from epidemicmodeling_tpu.ops.pallas.shard import pad_for_mesh
+
+    class FakeMesh:
+        class devices:
+            size = 0
+
+    for n_dev in (1, 2, 3, 4, 8):
+        FakeMesh.devices.size = n_dev
+        mesh = None if n_dev == 1 else FakeMesh
+        for B in range(128, 8192 + 1, 64):
+            _, pad = pad_for_mesh(B, mesh)
+            total = B + pad
+            assert total % (128 * n_dev) == 0, (B, n_dev)
+            shard = total // n_dev
+            bt = _pick_bt(shard)
+            if shard >= 2048:
+                assert bt == 512, (B, n_dev, shard, bt)

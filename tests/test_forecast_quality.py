@@ -86,6 +86,34 @@ def test_backtest_lanes_backend_matches_vmap():
                                    rtol=tol, atol=tol)
 
 
+def test_zero_truth_days_masked_in_aggregates():
+    """Per-day %-error stays faithful to the reference's divide-by-zero
+    (ForecastQualityAssessment.m:390-391 -> inf on zero-truth days), but the
+    mean/median aggregates must mask non-finite entries — on real series
+    with reporting gaps a single zero-case day would otherwise poison the
+    whole error-vs-horizon curve."""
+    _, _, truth = synthetic_oxford_frame(n_regions=2, n_days=140, seed=7)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc), None, tr["u"],
+                                      tr["pop"]))
+        names.append(name)
+    batch = build_region_batch(sers, names)
+    # inject zero-truth (reporting-gap) days into the evaluation tail
+    ncn = np.asarray(batch.new_cases_norm).copy()
+    ncn[0, 133:136] = 0.0
+    batch = batch._replace(new_cases_norm=jnp.asarray(ncn))
+    res = forecast_quality_assessment(
+        batch, np.zeros(12), NPI_MAXES_DEFAULT,
+        num_regression_days=120, num_forecast_days=12,
+        max_look_ahead_days=8, cfg=PipelineConfig())
+    e = np.asarray(res.est_error_smooth)
+    assert not np.isfinite(e[0]).all()          # faithful per-day infs
+    assert np.isfinite(np.asarray(res.mean_error_smooth)).all()
+    assert np.isfinite(np.asarray(res.median_error_smooth)).all()
+
+
 @pytest.mark.parametrize("backend", ["lanes", "pallas"])
 def test_backtest_sharded_matches_single_device(backend):
     """forecast_quality_assessment(mesh=...) over the 8-device CPU mesh must
