@@ -76,9 +76,10 @@ HBM_BYTES_PER_FILTER_DAY = 212 * 4
 # 396, the Cholesky/solves ~90 vs ~530, and the 12-NPI drive/Jacobian
 # loops are shared. Forward ~620, backward ~560.
 FLOPS_PER_FILTER_DAY_3STATE = 1200
-# fwd reads u(12)+x(1)+Rv(1)=14, writes 6+18=24; bwd reads 12+6+18=36+u(12),
-# writes ssm(3): 92 f32
-HBM_BYTES_PER_FILTER_DAY_3STATE = 92 * 4
+# fwd reads u(12)+x(1)+Rv(1)=14, writes 6+18=24; bwd reads sp/sm(6)+
+# pp/pm(18)+... = 36 (u is not read — the 3-state smoother has no u_opt
+# output), writes ssm(3): 80 f32
+HBM_BYTES_PER_FILTER_DAY_3STATE = 80 * 4
 
 
 def measure_machine_anchors(jax):

@@ -192,9 +192,15 @@ def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
     jax.lax.fori_loop(0, t_seg, body, 0)
 
 
-def _bwd3_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
-                 vecs_ref, sfin_ref, pfin_ref, ssm_ref,
-                 s_carry, P_carry, *, t_seg):
+def _bwd3_kernel(sp_ref, sm_ref, pp_ref, pm_ref, scal_ref,
+                 sfin_ref, pfin_ref, ssm_ref,
+                 s_carry, P_carry, sm_stash, pm_stash, *, t_seg, n_segs):
+    """Unshifted-operand layout (see ekf6_kernel._bwd_kernel): the
+    one-step-ahead S_MINUS/P_MINUS rows come from block row t+1, or from
+    VMEM-stashed next-segment row-0 values at block tops; the terminal row
+    T-1 writes s_final through selects. No sliced operand copies, no
+    output concatenate. (The 3-state smoother has no u_opt output, so u
+    and vecs are not read at all.)"""
     seg = pl.program_id(1)
 
     @pl.when(seg == 0)
@@ -203,18 +209,28 @@ def _bwd3_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
             s_carry[i] = sfin_ref[i]
         for i in range(M3 * M3):
             P_carry[i] = pfin_ref[i]
+        for i in range(M3):
+            sm_stash[i] = sm_ref[0, i]
+        for ij in range(M3 * M3):
+            pm_stash[ij] = pm_ref[0, ij]
 
     scal = [scal_ref[i] for i in range(8)]
     tiny = jnp.finfo(jnp.float32).tiny
 
     def body(idx, carry_unused):
         t = t_seg - 1 - idx
+        at_top = t == t_seg - 1
+        is_term = (seg == 0) & at_top
+        row_n = jnp.minimum(t + 1, t_seg - 1)
         s_sm_next = [s_carry[i] for i in range(M3)]
         P_sm_next = _loadP3(P_carry)
         s_plus = [sp_ref[t, i] for i in range(M3)]
-        s_minus_next = [sm_ref[t, i] for i in range(M3)]
+        s_minus_next = [jnp.where(at_top, sm_stash[i], sm_ref[row_n, i])
+                        for i in range(M3)]
         P_plus = _loadP3(pp_ref, t)
-        Pm = _loadP3(pm_next_ref, t)
+        Pm = [[jnp.where(at_top, pm_stash[i * M3 + j],
+                         pm_ref[row_n, i * M3 + j])
+               for j in range(M3)] for i in range(M3)]
 
         A = _jacobian3(s_plus, scal)
         PAt = _mat3_T(P_plus, A)
@@ -257,6 +273,12 @@ def _bwd3_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
         P_sm = _sym3([[P_plus[i][j] - JPdJt[i][j] for j in range(M3)]
                       for i in range(M3)])
 
+        # terminal row T-1: keep the (s_final, Ps_final) carries
+        s_sm = [jnp.where(is_term, s_sm_next[i], s_sm[i])
+                for i in range(M3)]
+        P_sm = [[jnp.where(is_term, P_sm_next[i][j], P_sm[i][j])
+                 for j in range(M3)] for i in range(M3)]
+
         for i in range(M3):
             ssm_ref[t, i] = s_sm[i]
         for i in range(M3):
@@ -267,6 +289,12 @@ def _bwd3_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
         return carry_unused
 
     jax.lax.fori_loop(0, t_seg, body, 0)
+
+    # stash this block's row-0 one-step-ahead values for the next grid step
+    for i in range(M3):
+        sm_stash[i] = sm_ref[0, i]
+    for ij in range(M3 * M3):
+        pm_stash[ij] = pm_ref[0, ij]
 
 
 @functools.partial(jax.jit, static_argnames=("gamma_discount", "interpret",
@@ -358,32 +386,20 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     sT = jnp.where(jnp.isnan(s_final), S_PLUS[-1], s_final)
     PT = jnp.where(jnp.isnan(Ps_final), P_PLUS[-1], Ps_final)
 
-    Tb = T - 1
-    t_seg_b = _pick_seg(Tb, BT)
-    n_segs_b = Tb // t_seg_b
-
+    rev = lambda l, s: (n_segs - 1 - s, 0, l)
     bwd = pl.pallas_call(
-        functools.partial(_bwd3_kernel, t_seg=t_seg_b),
-        grid=(n_lane, n_segs_b),
+        functools.partial(_bwd3_kernel, t_seg=t_seg, n_segs=n_segs),
+        grid=(n_lane, n_segs),
         in_specs=[
-            pl.BlockSpec((t_seg_b, NPI, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_seg_b, M3, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_seg_b, M3, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_seg_b, M3 * M3, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_seg_b, M3 * M3, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_seg, M3, BT), rev,
+                         memory_space=pltpu.VMEM),      # S_PLUS
+            pl.BlockSpec((t_seg, M3, BT), rev,
+                         memory_space=pltpu.VMEM),      # S_MINUS
+            pl.BlockSpec((t_seg, M3 * M3, BT), rev,
+                         memory_space=pltpu.VMEM),      # P_PLUS
+            pl.BlockSpec((t_seg, M3 * M3, BT), rev,
+                         memory_space=pltpu.VMEM),      # P_MINUS
             pl.BlockSpec((11, BT), lambda l, s: (0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, NPI, BT), lambda l, s: (0, 0, l),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M3, BT), lambda l, s: (0, l),
                          memory_space=pltpu.VMEM),
@@ -391,18 +407,17 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((t_seg_b, M3, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
+            pl.BlockSpec((t_seg, M3, BT), rev,
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((Tb, M3, B), f32)],
+        out_shape=[jax.ShapeDtypeStruct((T, M3, B), f32)],
         scratch_shapes=[pltpu.VMEM((M3, BT), f32),
+                        pltpu.VMEM((M3 * M3, BT), f32),
+                        pltpu.VMEM((M3, BT), f32),
                         pltpu.VMEM((M3 * M3, BT), f32)],
         interpret=interpret,
     )
-    (SSM_head,) = bwd(u[:Tb], S_PLUS[:Tb], S_MINUS[1:], P_PLUS[:Tb],
-                      P_MINUS[1:], scal, vecs, sT, PT)
-    S_SMOOTH = jnp.concatenate([SSM_head, sT[None]], axis=0)
+    (S_SMOOTH,) = bwd(S_PLUS, S_MINUS, P_PLUS, P_MINUS, scal, sT, PT)
     return S_SMOOTH, S_PLUS, S_MINUS
 
 

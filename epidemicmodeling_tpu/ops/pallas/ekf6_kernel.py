@@ -278,13 +278,21 @@ def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
 # backward smoother kernel
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
+def _bwd_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_ref, scal_ref,
                 vecs_ref, sfin_ref, pfin_ref, ssm_ref, usm_ref,
-                s_carry, P_carry, *, t_seg, n_segs):
+                s_carry, P_carry, sm_stash, pm_stash, *, t_seg, n_segs):
     """Segments are fed in REVERSE time order via the index maps; within a
-    segment the loop runs t = t_seg-1 .. 0. pm_next_ref holds P_MINUS
-    shifted by one step (P_MINUS[t+1]) so no cross-segment reads are
-    needed."""
+    segment the loop runs t = t_seg-1 .. 0.
+
+    All inputs are the UNSHIFTED forward outputs over the full T rows: the
+    one-step-ahead values S_MINUS[t+1] / P_MINUS[t+1] come from row t+1 of
+    the current block, except at the block top (t = t_seg-1) where they are
+    the row-0 values of the later-in-time segment, stashed in VMEM scratch
+    at the end of the previous grid step. This removes the (T, 36, B)
+    device-side slice copies the old shifted-operand layout required
+    (~0.25 s of 1.3 s at the 235x2000 saturation scale). The terminal row
+    t = T-1 (grid step 0, block top) writes (s_final, 0) through selects
+    instead of a host-side concatenate."""
     seg = pl.program_id(1)
 
     @pl.when(seg == 0)
@@ -294,6 +302,13 @@ def _bwd_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
         for i in range(M):
             for j in range(M):
                 P_carry[i * M + j] = pfin_ref[i * M + j]
+        # harmless valid values: the stash is only consumed at the block
+        # top, which for seg 0 is the terminal row whose update is
+        # discarded by the selects below — real values avoid NaN garbage
+        for i in range(M):
+            sm_stash[i] = sm_ref[0, i]
+        for ij in range(M * M):
+            pm_stash[ij] = pm_ref[0, ij]
 
     scal = [scal_ref[i] for i in range(8)]
     vecs = [[vecs_ref[v, k] for k in range(NPI)] for v in range(4)]
@@ -301,12 +316,18 @@ def _bwd_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
 
     def body(idx, carry_unused):
         t = t_seg - 1 - idx
+        at_top = t == t_seg - 1            # needs the stashed next-segment row
+        is_term = (seg == 0) & at_top      # global row T-1: terminal values
+        row_n = jnp.minimum(t + 1, t_seg - 1)
         s_sm_next = [s_carry[i] for i in range(M)]
         P_sm_next = _load_P(P_carry)
         s_plus = [sp_ref[t, i] for i in range(M)]
-        s_minus_next = [sm_ref[t, i] for i in range(M)]
+        s_minus_next = [jnp.where(at_top, sm_stash[i], sm_ref[row_n, i])
+                        for i in range(M)]
         P_plus = _load_P(pp_ref, t)
-        Pm_next = _load_P(pm_next_ref, t)
+        Pm_next = [[jnp.where(at_top, pm_stash[i * M + j],
+                              pm_ref[row_n, i * M + j])
+                    for j in range(M)] for i in range(M)]
         u_t = [u_ref[t, k] for k in range(NPI)]
 
         A = _jacobian(u_t, s_plus, scal, vecs)
@@ -355,6 +376,13 @@ def _bwd_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
 
         u_sm, _unused = _state_update(u_t, s_sm, scal, vecs)
 
+        # terminal row T-1: keep (s_final, Ps_final) carries, write u = 0
+        # (the reference loop never writes the last u_opt_smooth sample)
+        s_sm = [jnp.where(is_term, s_sm_next[i], s_sm[i]) for i in range(M)]
+        P_sm = [[jnp.where(is_term, P_sm_next[i][j], P_sm[i][j])
+                 for j in range(M)] for i in range(M)]
+        u_sm = [jnp.where(is_term, 0.0, u_sm[k]) for k in range(NPI)]
+
         for i in range(M):
             ssm_ref[t, i] = s_sm[i]
         for k in range(NPI):
@@ -368,27 +396,39 @@ def _bwd_kernel(u_ref, sp_ref, sm_ref, pp_ref, pm_next_ref, scal_ref,
 
     jax.lax.fori_loop(0, t_seg, body, 0)
 
+    # stash this block's row-0 one-step-ahead values for the next grid step
+    # (the earlier-in-time segment reads them at its block top)
+    for i in range(M):
+        sm_stash[i] = sm_ref[0, i]
+    for ij in range(M * M):
+        pm_stash[ij] = pm_ref[0, ij]
+
 
 # --------------------------------------------------------------------------
 # host wrappers
 # --------------------------------------------------------------------------
 
 def _pick_bt(B):
-    """Lane-tile width: widest of (512, 256, 128) dividing B. Wider tiles
-    fill more VPU sublanes per op — measured 55ms -> 41ms per 6144-lane
-    chunk at bench scale (531 days) going 128 -> 512, bit-identical output.
+    """Lane-tile width: widest of (1024, 512, 256, 128) dividing B. A
+    (BT,)-wide vector op occupies BT/128 of the VPU's 8 sublanes, so 1024
+    fills the whole (8, 128) vregister set per instruction — measured on
+    v5e at 6144 lanes x 532 days: 128 -> 35.6 ms, 512 -> 13.8 ms, 1024 ->
+    12.0 ms (272M filter-days/s), bit-identical output at every width.
     Small batches (tests, B=128) keep the narrow tile."""
-    for bt in (512, 256, 128):
+    for bt in (1024, 512, 256, 128):
         if B % bt == 0:
             return bt
     raise ValueError(f"B={B} must be a multiple of 128")
 
 
 def _pick_seg(T, bt=BT):
-    """Largest segment length that divides T within the VMEM budget
-    (~bt * t_seg * 96 floats of double-buffered block storage; the cap
-    128*80 per 128-lane tile was tuned on v5e)."""
-    cap = max(8, (128 * 80) // bt)
+    """Largest segment length that divides T within the VMEM budget: the
+    backward pass double-buffers ~114 f32 rows per step per lane
+    (5 in-blocks + 2 out-blocks), so t_seg * bt is capped at 4096
+    (~7.5 MB of the 16 MB VMEM, the rest for scratch + fwd blocks).
+    Short segments measured FASTER at wide tiles (finer DMA pipelining):
+    (1024, 4) 272M fd/s vs (1024, 7) 266M on the 6144x532 microbench."""
+    cap = max(2, 4096 // bt)
     for seg in range(cap, 0, -1):
         if T % seg == 0:
             return seg
@@ -495,31 +535,26 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     sT = jnp.where(jnp.isnan(s_final), S_PLUS[-1], s_final)
     PT = jnp.where(jnp.isnan(Ps_final), P_PLUS[-1], Ps_final)
 
-    # shifted inputs for the backward pass over t = 0..T-2:
-    #   S_MINUS[t+1], P_MINUS[t+1]
-    Tb = T - 1
-    t_seg_b = _pick_seg(Tb, BT)
-    n_segs_b = Tb // t_seg_b
-
+    # backward pass over the UNSHIFTED forward outputs (full T rows, same
+    # segmentation as the forward): the one-step-ahead S_MINUS/P_MINUS rows
+    # are resolved in-kernel (block row t+1, or the VMEM-stashed row 0 of
+    # the later segment at block tops), and the terminal row is written
+    # in-kernel — no sliced operand copies, no output concatenate
+    rev = lambda l, s: (n_segs - 1 - s, 0, l)
     bwd = pl.pallas_call(
-        functools.partial(_bwd_kernel, t_seg=t_seg_b, n_segs=n_segs_b),
-        grid=(n_lane, n_segs_b),
+        functools.partial(_bwd_kernel, t_seg=t_seg, n_segs=n_segs),
+        grid=(n_lane, n_segs),
         in_specs=[
-            pl.BlockSpec((t_seg_b, NPI, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),      # u[:T-1]
-            pl.BlockSpec((t_seg_b, M, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),      # S_PLUS[:T-1]
-            pl.BlockSpec((t_seg_b, M, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),      # S_MINUS[1:]
-            pl.BlockSpec((t_seg_b, M * M, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),      # P_PLUS[:T-1]
-            pl.BlockSpec((t_seg_b, M * M, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),      # P_MINUS[1:]
+            pl.BlockSpec((t_seg, NPI, BT), rev,
+                         memory_space=pltpu.VMEM),      # u
+            pl.BlockSpec((t_seg, M, BT), rev,
+                         memory_space=pltpu.VMEM),      # S_PLUS
+            pl.BlockSpec((t_seg, M, BT), rev,
+                         memory_space=pltpu.VMEM),      # S_MINUS
+            pl.BlockSpec((t_seg, M * M, BT), rev,
+                         memory_space=pltpu.VMEM),      # P_PLUS
+            pl.BlockSpec((t_seg, M * M, BT), rev,
+                         memory_space=pltpu.VMEM),      # P_MINUS
             pl.BlockSpec((14, BT), lambda l, s: (0, l),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, NPI, BT), lambda l, s: (0, 0, l),
@@ -530,28 +565,25 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
                          memory_space=pltpu.VMEM),      # PT
         ],
         out_specs=[
-            pl.BlockSpec((t_seg_b, M, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),      # S_SMOOTH[:T-1]
-            pl.BlockSpec((t_seg_b, NPI, BT),
-                         lambda l, s: (n_segs_b - 1 - s, 0, l),
-                         memory_space=pltpu.VMEM),      # U_SM[:T-1]
+            pl.BlockSpec((t_seg, M, BT), rev,
+                         memory_space=pltpu.VMEM),      # S_SMOOTH
+            pl.BlockSpec((t_seg, NPI, BT), rev,
+                         memory_space=pltpu.VMEM),      # U_SM
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tb, M, B), f32),
-            jax.ShapeDtypeStruct((Tb, NPI, B), f32),
+            jax.ShapeDtypeStruct((T, M, B), f32),
+            jax.ShapeDtypeStruct((T, NPI, B), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((M, BT), f32),
             pltpu.VMEM((M * M, BT), f32),
+            pltpu.VMEM((M, BT), f32),          # stashed S_MINUS row 0
+            pltpu.VMEM((M * M, BT), f32),      # stashed P_MINUS row 0
         ],
         interpret=interpret,
     )
-    SSM_head, USM_head = bwd(u[:Tb], S_PLUS[:Tb], S_MINUS[1:], P_PLUS[:Tb],
-                             P_MINUS[1:], scal, vecs, sT, PT)
-
-    S_SMOOTH = jnp.concatenate([SSM_head, sT[None]], axis=0)
-    U_SM = jnp.concatenate([USM_head, jnp.zeros((1, NPI, B), f32)], axis=0)
+    S_SMOOTH, U_SM = bwd(u, S_PLUS, S_MINUS, P_PLUS, P_MINUS,
+                         scal, vecs, sT, PT)
     return S_SMOOTH, U_SM, S_PLUS
 
 

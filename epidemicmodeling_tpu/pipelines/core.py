@@ -513,15 +513,14 @@ def _sweep_chunk_vmap_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
     return jax.vmap(per_eps)(eps_chunk, key_chunk)
 
 
-@_functools.partial(jax.jit,
-                    static_argnames=("cfg", "T_hist", "Ec", "mesh"))
-def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
+def _sweep_chunk_lanes_body(eps_chunk, key_chunk, u_in, obs, R_v, params,
                             QQ, PPs, ss_init, s_final, Ps_final, s_hist,
                             w_vec, s_noise_std, i_noise_std, *, cfg, T_hist,
                             Ec, mesh=None):
-    """Module-level jitted batch-last / Pallas Pareto chunk (hoisted out of
-    pareto_prescribe so the compilation caches across calls — a closure-level
-    jit recompiled on every pipeline invocation, costing ~10s per run)."""
+    """One batch-last / Pallas Pareto chunk — traced once as the lax.scan
+    body of _sweep_all_lanes_impl (all chunks in ONE executable) and also
+    jitted standalone as _sweep_chunk_lanes_impl for the vmap-backend-style
+    per-chunk path."""
     from ..models.batch_last import si_alpha_costate_ekf_system_bl, _dot_p
     from ..ops.ekf_bl import ekf_smoother_bl
     from ..utils.math import clip_lo_hi
@@ -650,6 +649,48 @@ def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
             u_out)
 
 
+@_functools.partial(jax.jit,
+                    static_argnames=("cfg", "T_hist", "Ec", "mesh"))
+def _sweep_chunk_lanes_impl(eps_chunk, key_chunk, u_in, obs, R_v, params,
+                            QQ, PPs, ss_init, s_final, Ps_final, s_hist,
+                            w_vec, s_noise_std, i_noise_std, *, cfg, T_hist,
+                            Ec, mesh=None):
+    """Single-chunk entry point (module-level jit so compilation caches
+    across pipeline calls)."""
+    return _sweep_chunk_lanes_body(
+        eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
+        s_final, Ps_final, s_hist, w_vec, s_noise_std, i_noise_std,
+        cfg=cfg, T_hist=T_hist, Ec=Ec, mesh=mesh)
+
+
+@_functools.partial(jax.jit,
+                    static_argnames=("cfg", "T_hist", "Ec", "mesh"))
+def _sweep_all_lanes_impl(eps_all, keys_all, u_in, obs, R_v, params,
+                          QQ, PPs, ss_init, s_final, Ps_final, s_hist,
+                          w_vec, s_noise_std, i_noise_std, *, cfg, T_hist,
+                          Ec, mesh=None):
+    """The WHOLE epsilon sweep as one executable: lax.scan over epsilon
+    chunks with the single-chunk body, so the E/pareto_chunk chunks run
+    back-to-back on device with no per-chunk host dispatch, no donated
+    write-back buffer, and no inter-chunk pipeline bubbles (the host loop
+    cost ~0.4 s of a 1.3 s sweep at the 235x2000 saturation scale: ~4 ms
+    of axon-tunnel latency per dispatch plus the buffer writes).
+    eps_all: (n_chunks, Ec); keys_all: (n_chunks, Ec, 2) uint32.
+    Returns the per-chunk outputs stacked on a leading n_chunks axis
+    (trajectory slots are None when cfg.pareto_store_trajectories=False).
+    Reference loop: Tools/TrainPredictPrescribeNPI.m:421-494."""
+    def step(carry, eps_keys):
+        eps_chunk, key_chunk = eps_keys
+        out = _sweep_chunk_lanes_body(
+            eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
+            s_final, Ps_final, s_hist, w_vec, s_noise_std, i_noise_std,
+            cfg=cfg, T_hist=T_hist, Ec=Ec, mesh=mesh)
+        return carry, out
+
+    _, outs = jax.lax.scan(step, 0, (eps_all, keys_all))
+    return outs
+
+
 @_functools.partial(jax.jit, static_argnames=("cfg", "T_hist", "fdtype"))
 def _pareto_prep_impl(obs, npis, population, obs_noise_var, a2, b2,
                       npi_mins, npi_maxes, npi_weights, init, s_hist, *,
@@ -747,51 +788,62 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     (obs, R_v, params, QQ, PPs, ss_init, s_final, Ps_final, u_in,
      w_daywise, w_rp, s_hist_f, s_nstd, i_nstd) = prep
 
-    def sweep_chunk(eps_chunk, key_chunk):
-        return _sweep_chunk_vmap_impl(
-            eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
-            s_final, Ps_final, s_hist_f, w_daywise, init,
-            cfg=cfg, T_hist=T_hist)
+    eps = np.asarray(epsilon_values, float)
+    chunk = cfg.pareto_chunk
+    E_pad = ((E + chunk - 1) // chunk) * chunk
+    n_chunks = E_pad // chunk
+    eps_padded = np.concatenate([eps, np.full(E_pad - E, eps[-1])])
+    if key is None:
+        keys = jnp.zeros((E_pad, 2), jnp.uint32)
+    else:
+        keys = jax.random.split(key, E_pad)
 
-    def sweep_chunk_lanes(eps_chunk, key_chunk):
+    if cfg.backend in ("lanes", "pallas"):
         if cfg.backend == "pallas" and (
                 cfg.observation_type not in ("NEWCASES", "TOTALCASES")
                 or cfg.order != 1):
             raise ValueError(
                 "backend='pallas' supports NEWCASES/TOTALCASES "
                 "observations and order=1 only; use backend='vmap'")
-        return _sweep_chunk_lanes_impl(
-            eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
+        # the WHOLE sweep is one executable (lax.scan over chunks inside
+        # _sweep_all_lanes_impl): no per-chunk host dispatches, no donated
+        # write-back buffer — outputs come back stacked (n_chunks, Ec, ...)
+        eps_all = jnp.asarray(eps_padded.reshape(n_chunks, chunk), fdtype)
+        keys_all = keys.reshape(n_chunks, chunk, 2)
+        if mesh is not None:
+            # shard the epsilon ensemble axis over the 'ep' mesh axis so
+            # the (E, R) lane grid occupies the full 2-D mesh
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _PS
+            eps_all = jax.device_put(
+                eps_all, NamedSharding(mesh, _PS(None, "ep")))
+            keys_all = jax.device_put(
+                keys_all, NamedSharding(mesh, _PS(None, "ep", None)))
+        outs = _sweep_all_lanes_impl(
+            eps_all, keys_all, u_in, obs, R_v, params, QQ, PPs, ss_init,
             s_final, Ps_final, s_hist_f, w_rp, s_nstd, i_nstd,
-            cfg=cfg, T_hist=T_hist, Ec=eps_chunk.shape[0],
-            mesh=_pallas_mesh(cfg, mesh))
+            cfg=cfg, T_hist=T_hist, Ec=chunk, mesh=_pallas_mesh(cfg, mesh))
+        flat = lambda a: (None if a is None else
+                          a.reshape((E_pad,) + a.shape[2:])[:E])
+        return {
+            "J0": flat(outs[0]), "J1": flat(outs[1]), "s": flat(outs[2]),
+            "i": flat(outs[3]), "alpha": flat(outs[4]),
+            "u_prescribed": flat(outs[5]),
+            "epsilon": jnp.asarray(eps, fdtype),
+        }
 
-    eps = np.asarray(epsilon_values, float)
-    chunk = cfg.pareto_chunk
-    E_pad = ((E + chunk - 1) // chunk) * chunk
-    eps_padded = np.concatenate([eps, np.full(E_pad - E, eps[-1])])
-    if key is None:
-        keys = jnp.zeros((E_pad, 2), jnp.uint32)
-    else:
-        keys = jax.random.split(key, E_pad)
+    def sweep_chunk(eps_chunk, key_chunk):
+        return _sweep_chunk_vmap_impl(
+            eps_chunk, key_chunk, u_in, obs, R_v, params, QQ, PPs, ss_init,
+            s_final, Ps_final, s_hist_f, w_daywise, init,
+            cfg=cfg, T_hist=T_hist)
+
     outs = []
     u_buf = None
     for c0 in range(0, E_pad, chunk):
         eps_chunk = jnp.asarray(eps_padded[c0:c0 + chunk], fdtype)
         key_chunk = keys[c0:c0 + chunk]
-        if mesh is not None:
-            # shard the epsilon ensemble axis over the 'ep' mesh axis so the
-            # (E, R) lane grid occupies the full 2-D mesh
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as _PS
-            eps_chunk = jax.device_put(
-                eps_chunk, NamedSharding(mesh, _PS("ep")))
-            key_chunk = jax.device_put(
-                key_chunk, NamedSharding(mesh, _PS("ep", None)))
-        if cfg.backend in ("lanes", "pallas"):
-            o = sweep_chunk_lanes(eps_chunk, key_chunk)
-        else:
-            o = sweep_chunk(eps_chunk, key_chunk)
+        o = sweep_chunk(eps_chunk, key_chunk)
         if not cfg.pareto_store_trajectories:
             # keep only costs + prescriptions; prescriptions go into ONE
             # preallocated (donated, in-place) device buffer — the retained

@@ -7,6 +7,10 @@
 - the Pareto cloud: blue random / black fixed / red optimal front
   (:848-866, README.md:22-24)
 - backtest error-vs-horizon curves (Tools/ForecastQualityAssessment.m:423-429)
+- the per-region 4-panel training diagnostic: new-case fits, rho monitor,
+  alpha-vs-regression-fit, NPI schedule (:697-733)
+- NPI-schedule overlays: history + prescribed future per NPI dimension
+  (:733, testScripts/testPrescribeXPRIZE01.m:258-259)
 
 All functions take arrays, draw on a provided/created matplotlib Axes, and
 return the figure — headless-safe (Agg).
@@ -124,6 +128,128 @@ def plot_pareto_cloud(J0_random, J1_random, J0_opt, J1_opt, front_mask=None,
     ax.set_box_aspect(1)
     if title:
         ax.set_title(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig
+
+
+def plot_training_diagnostic(obs_new_cases, s_smooth_round1, s_smooth_round2,
+                             rho_round1, rho_round2, npi_schedule,
+                             a1=None, b1=None, a2=None, b2=None,
+                             npi_maxes=None, num_regression_days=None,
+                             population: float = 1.0, title=None, path=None):
+    """The per-region 4-panel training QC figure a modeler debugs with
+    (Tools/TrainPredictPrescribeNPI.m:697-733):
+
+    1. observed new cases vs the round-1 (no-input) and round-2
+       (with-NPI-input) smoothed model fits N*s*i*alpha (:697-706)
+    2. the rho innovation-consistency monitor, round 1 vs round 2 (:708-713)
+    3. the estimated alpha series (both rounds) overlaid with the
+       regression fits b + (u_max - u) @ a — the reference's
+       y_data_train / y_pred_lasso panel (:715-722)
+    4. the historic NPI schedule, `plot(InterventionPlans)` (:724-726)
+
+    obs_new_cases: (T,) normalized new cases; s_smooth_round*: (T, 3);
+    rho_round*: (T,); npi_schedule: (T, P). a/b round coefficients and
+    npi_maxes enable the regression-fit overlay; num_regression_days
+    marks the training window with a dashed vline.
+    """
+    plt = _plt()
+    fig, axes = plt.subplots(4, 1, figsize=(9, 10), sharex=True)
+    obs = np.asarray(obs_new_cases, float)
+    T = obs.shape[0]
+
+    ax = axes[0]
+    ax.plot(population * obs, "k", lw=2, label="NewCases")
+    for label, S in (("SMOOTH", s_smooth_round1),
+                     ("SMOOTH2", s_smooth_round2)):
+        S = np.asarray(S)
+        ax.plot(population * S[:, 0] * S[:, 1] * S[:, 2], lw=1.2,
+                label=label)
+    ax.set_ylabel("new cases")
+    ax.legend(loc="best", fontsize=8)
+    ax.grid(True, alpha=0.3)
+    if title:
+        ax.set_title(title)
+
+    ax = axes[1]
+    ax.plot(np.asarray(rho_round1, float), label="rho round 1 (no input)")
+    ax.plot(np.asarray(rho_round2, float), "r",
+            label="rho round 2 (with input)")
+    ax.set_ylabel(r"$\rho$")
+    ax.legend(loc="best", fontsize=8)
+    ax.grid(True, alpha=0.3)
+
+    ax = axes[2]
+    u = np.asarray(npi_schedule, float)
+    for label, S in ((r"$\alpha$ round 1", s_smooth_round1),
+                     (r"$\alpha$ round 2", s_smooth_round2)):
+        ax.plot(np.asarray(S)[:, 2], lw=1.2, label=label)
+    if a1 is not None and npi_maxes is not None:
+        x = np.asarray(npi_maxes, float)[None, :] - u   # (T, P)
+        for label, a, b in (("fit round 1", a1, b1), ("fit round 2", a2, b2)):
+            if a is None:
+                continue
+            ax.plot(np.asarray(b, float) + x @ np.asarray(a, float),
+                    "--", lw=1.2, label=label)
+    ax.set_ylabel(r"$\alpha$ vs regression fit")
+    ax.legend(loc="best", fontsize=8)
+    ax.grid(True, alpha=0.3)
+
+    ax = axes[3]
+    ax.plot(u, lw=1.0)
+    ax.set_ylabel("NPI level")
+    ax.set_xlabel("days")
+    ax.grid(True, alpha=0.3)
+
+    if num_regression_days is not None:
+        for ax in axes:
+            ax.axvline(T - int(num_regression_days), color="k", ls="--",
+                       lw=1, alpha=0.6)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig
+
+
+def plot_npi_schedule(u_hist, u_prescribed=None, npi_maxes=None,
+                      npi_names=None, title=None, path=None):
+    """Per-NPI schedule overlay: the historic schedule as solid steps and
+    the prescribed future continuation as dashed steps, one subplot per NPI
+    dimension with the codebook maximum as the y-limit
+    (Tools/TrainPredictPrescribeNPI.m:733 `plot(InterventionPlans)`;
+    testScripts/testPrescribeXPRIZE01.m:258-259 `plot(opt_control_input')`).
+
+    u_hist: (T_hist, P); u_prescribed: optional (H, P) appended after
+    T_hist; npi_maxes: optional (P,) codebook maxima for y-limits.
+    """
+    plt = _plt()
+    u = np.asarray(u_hist, float)
+    T_hist, P = u.shape
+    names = (list(npi_names) if npi_names is not None
+             else [f"NPI {k}" for k in range(P)])
+    fig, axes = plt.subplots(P, 1, figsize=(9, 1.1 * P), sharex=True)
+    axes = np.atleast_1d(axes)
+    for k in range(P):
+        ax = axes[k]
+        ax.step(np.arange(T_hist), u[:, k], where="post", lw=1.2,
+                color="C0")
+        if u_prescribed is not None:
+            up = np.asarray(u_prescribed, float)
+            ax.step(np.arange(T_hist - 1, T_hist + up.shape[0]),
+                    np.concatenate([u[-1:, k], up[:, k]]), where="post",
+                    lw=1.2, ls="--", color="C3")
+            ax.axvline(T_hist - 1, color="k", ls=":", lw=0.8, alpha=0.6)
+        if npi_maxes is not None:
+            ax.set_ylim(-0.2, float(np.asarray(npi_maxes)[k]) + 0.2)
+        ax.set_ylabel(names[k], rotation=0, ha="right", va="center",
+                      fontsize=7)
+        ax.grid(True, alpha=0.3)
+        ax.tick_params(labelsize=7)
+    axes[-1].set_xlabel("days")
+    if title:
+        axes[0].set_title(title)
     fig.tight_layout()
     if path:
         fig.savefig(path, dpi=120)

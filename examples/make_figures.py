@@ -18,8 +18,11 @@ def main(outdir="figures"):
     from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
         run_pipeline
     from epidemicmodeling_tpu.control import epsilon_grid
+    from epidemicmodeling_tpu.pipelines.core import train_regions
     from epidemicmodeling_tpu.viz import (plot_state_estimates,
                                           plot_scenarios, plot_pareto_cloud,
+                                          plot_training_diagnostic,
+                                          plot_npi_schedule,
                                           select_optimal_index)
 
     os.makedirs(outdir, exist_ok=True)
@@ -35,10 +38,13 @@ def main(outdir="figures"):
     bf = build_region_batch(sers, names, horizon=H)
 
     cfg = PipelineConfig(num_monte_carlo=200, pareto_chunk=16)
+    # train separately so the per-region diagnostic (rho monitor, round-1/2
+    # smoothed fits) is available, then reuse the trained params
+    tr_out = train_regions(bt, np.zeros(12), NPI_MAXES_DEFAULT, T_hist, cfg)
     res = run_pipeline(bt, bf, None, T_hist, np.ones(12),
                        np.asarray(epsilon_grid(32)), np.zeros(12),
                        NPI_MAXES_DEFAULT, T_hist, cfg,
-                       key=jax.random.PRNGKey(0))
+                       key=jax.random.PRNGKey(0), trained=tr_out.trained)
 
     r = 0
     pop = float(res.trained.population[r])
@@ -69,7 +75,30 @@ def main(outdir="figures"):
         J1_fixed=float(scen["fixed"].J1[r]), population=pop,
         title=f"{names[r]} Pareto tradeoff",
         path=f"{outdir}/pareto.png")
-    print(f"wrote {outdir}/states.png, scenarios.png, pareto.png "
+    # per-region training diagnostic: new-case fits, rho monitor,
+    # alpha-vs-regression-fit, NPI schedule (the reference's 4-panel
+    # debug figure, TrainPredictPrescribeNPI.m:697-733)
+    plot_training_diagnostic(
+        bt.new_cases_norm[r], np.asarray(tr_out.s_smooth_round1[r]),
+        np.asarray(tr_out.s_smooth_round2[r]),
+        np.asarray(tr_out.rho_round1[r]), np.asarray(tr_out.rho_round2[r]),
+        bt.npis[r],
+        a1=np.asarray(res.trained.a1[r]), b1=float(res.trained.b1[r]),
+        a2=np.asarray(res.trained.a2[r]), b2=float(res.trained.b2[r]),
+        npi_maxes=NPI_MAXES_DEFAULT, num_regression_days=T_hist,
+        population=pop, title=f"{names[r]} training diagnostic",
+        path=f"{outdir}/training_diagnostic.png")
+
+    # NPI-schedule overlay: history + the optimal-epsilon prescription
+    plot_npi_schedule(
+        bt.npis[r],
+        u_prescribed=np.asarray(res.pareto["u_prescribed"])[i_opt, r],
+        npi_maxes=NPI_MAXES_DEFAULT,
+        title=f"{names[r]} NPI schedule (optimal eps index {i_opt})",
+        path=f"{outdir}/npi_schedule.png")
+
+    print(f"wrote {outdir}/states.png, scenarios.png, pareto.png, "
+          f"training_diagnostic.png, npi_schedule.png "
           f"(optimal index {i_opt})")
 
 

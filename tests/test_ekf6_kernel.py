@@ -347,9 +347,10 @@ def test_kernel_adaptive_requires_monitor_window():
 
 def test_wide_tile_invariant_under_mesh_padding():
     """pad_for_mesh + _pick_bt: every per-device shard that reaches 2048
-    lanes must get the wide 512 tile (the measured 55ms->41ms throughput
-    win). Narrow-path shards are provably < 2176 and the only >= 2048
-    value reachable is exactly 2048 = 4*512 — sweep B x n_dev to pin it."""
+    lanes must get the full-width 1024 tile (fills all 8 VPU sublanes;
+    measured 13.8 -> 12.0 ms over 512 at 6144x532). Narrow-path shards are
+    provably < 2176 and the only >= 2048 value reachable is exactly
+    2048 = 2*1024 — sweep B x n_dev to pin it."""
     from epidemicmodeling_tpu.ops.pallas.ekf6_kernel import _pick_bt
     from epidemicmodeling_tpu.ops.pallas.shard import pad_for_mesh
 
@@ -367,4 +368,4 @@ def test_wide_tile_invariant_under_mesh_padding():
             shard = total // n_dev
             bt = _pick_bt(shard)
             if shard >= 2048:
-                assert bt == 512, (B, n_dev, shard, bt)
+                assert bt == 1024, (B, n_dev, shard, bt)

@@ -6,6 +6,8 @@ import pytest
 from epidemicmodeling_tpu.viz import (plot_state_estimates, plot_scenarios,
                                       plot_pareto_cloud,
                                       plot_backtest_curves,
+                                      plot_training_diagnostic,
+                                      plot_npi_schedule,
                                       select_optimal_index)
 from epidemicmodeling_tpu.ops.diagnostics import (filter_health,
                                                   summarize_health)
@@ -42,6 +44,35 @@ def test_plots_render_to_files(tmp_path):
     plot_backtest_curves(np.abs(rng.standard_normal((30, 60))) * 10,
                          path=tmp_path / "backtest.png")
     assert (tmp_path / "backtest.png").stat().st_size > 1000
+
+
+def test_training_diagnostic_and_npi_schedule_render(tmp_path):
+    """The reference's per-region 4-panel QC figure
+    (TrainPredictPrescribeNPI.m:697-733) and the NPI-schedule overlay
+    (:733; testPrescribeXPRIZE01.m:258-259) render headlessly."""
+    rng = np.random.default_rng(1)
+    T, P = 120, 12
+    maxes = np.array([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4], float)
+    s1 = np.stack([np.full(T, 0.99), np.full(T, 1e-4),
+                   0.3 + 0.05 * rng.standard_normal(T)], axis=1)
+    s2 = s1 * (1 + 0.01 * rng.standard_normal((T, 3)))
+    u = rng.integers(0, 3, (T, P)).astype(float)
+    fig = plot_training_diagnostic(
+        np.abs(rng.random(T)) * 1e-4, s1, s2,
+        np.ones(T) + 0.1 * rng.standard_normal(T),
+        np.ones(T) + 0.1 * rng.standard_normal(T), u,
+        a1=np.abs(rng.random(P)) * 0.01, b1=0.2,
+        a2=np.abs(rng.random(P)) * 0.01, b2=0.21,
+        npi_maxes=maxes, num_regression_days=90, population=1e7,
+        title="region QC", path=tmp_path / "diag.png")
+    assert (tmp_path / "diag.png").stat().st_size > 1000
+    assert len(fig.axes) == 4
+
+    up = rng.integers(0, 4, (30, P)).astype(float).clip(max=maxes)
+    fig2 = plot_npi_schedule(u, u_prescribed=up, npi_maxes=maxes,
+                             title="schedule", path=tmp_path / "npi.png")
+    assert (tmp_path / "npi.png").stat().st_size > 1000
+    assert len(fig2.axes) == P
 
 
 def test_filter_health_flags_problems():
