@@ -229,6 +229,12 @@ def main():
         names.append(name)
     batch_train = build_region_batch(sers, names)
     batch_full = build_region_batch(sers, names, horizon=HORIZON)
+    # one upfront f32 upload of the hot fields; stages then consume the
+    # device-resident arrays (a traced run showed ~45% of warm wall-clock
+    # was per-stage host casts + tunnel re-uploads of the same batch)
+    from epidemicmodeling_tpu.pipelines.core import device_batch
+    batch_train = device_batch(batch_train)
+    batch_full = device_batch(batch_full)
     log(f"data built in {time.time()-t0:.1f}s")
 
     cfg = PipelineConfig(num_monte_carlo=500, pareto_chunk=CHUNK,
@@ -445,13 +451,15 @@ def main():
                                      round(100 * sat_fd_per_s
                                            * FLOPS_PER_FILTER_DAY_6STATE
                                            / 1e9 / vpu_peak_gflops, 1)),
-                    "n_host_chunks": n_chunks,
+                    # since r4 the chunk loop is an on-device lax.scan
+                    # inside ONE executable (was host-dispatched in r<=3)
+                    "n_chunks": n_chunks,
                 }
                 log(f"saturation {R_REGIONS}x{E_SAT}: {sat_s:.2f}s pareto "
                     f"= {sat_fd_per_s/1e6:.1f}M filter-days/s = "
                     f"{sat['achieved_gflops']} GFLOP/s "
                     f"({sat['pct_vpu_peak']}% of measured VPU peak) over "
-                    f"{n_chunks} host-dispatched chunks")
+                    f"{n_chunks} on-device scanned chunks")
         except Exception as e:
             log(f"saturation leg skipped ({type(e).__name__}: {e})")
 

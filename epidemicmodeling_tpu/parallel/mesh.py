@@ -41,6 +41,31 @@ def make_mesh(n_devices: int | None = None, axis_names=("dp", "ep")) -> Mesh:
     return Mesh(np.array(devs).reshape(shape), axis_names)
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices owned by other processes (the
+    multi-host DCN case): host-side placement must then build global arrays
+    shard-by-shard instead of jax.device_put, which requires every target
+    device to be addressable."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def put_global(x, mesh: Mesh, spec: P):
+    """Place ``x`` (a host array every process holds in FULL) onto the mesh
+    with the given PartitionSpec.
+
+    Single-host: plain jax.device_put. Multi-host: each process builds only
+    its addressable shards via jax.make_array_from_callback — the standard
+    SPMD pattern where identical host data is materialized per-process and
+    XLA's GSPMD sees one global array spanning hosts.
+    """
+    sh = NamedSharding(mesh, spec)
+    if not mesh_spans_processes(mesh):
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def shard_batch_arrays(mesh: Mesh, tree, axis: str = "dp",
                        strict: bool = True):
     """Place every array leaf with its leading axis sharded over ``axis``.
@@ -70,24 +95,45 @@ def shard_batch_arrays(mesh: Mesh, tree, axis: str = "dp",
                 spec = P(axis, *([None] * (x.ndim - 1)))
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, mesh, spec)
 
     return jax.tree.map(put, tree)
 
 
-REGION_BATCH_SHARD_FIELDS = ("observations", "new_cases_norm",
+REGION_BATCH_ARRAY_FIELDS = ("observations", "new_cases_norm",
                              "confirmed_norm", "npis", "obs_noise_var",
                              "population")
 
 
 def shard_region_batch(mesh: Mesh, batch, axis: str = "dp"):
-    """Shard a RegionBatch's region-major array fields over ``axis``
-    (single source of truth for which fields carry the leading region dim —
-    keep REGION_BATCH_SHARD_FIELDS in sync with data.preprocess.RegionBatch
-    so sharded and unsharded runs cannot silently diverge in placement)."""
-    return batch._replace(
-        **{k: shard_batch_arrays(mesh, getattr(batch, k), axis)
-           for k in REGION_BATCH_SHARD_FIELDS})
+    """Place a RegionBatch's array fields on the mesh, REPLICATED.
+
+    Deliberate design (r4): the region INPUTS are replicated — they are
+    megabytes at worst — while the lane WORK is sharded (the Pareto
+    sweep's epsilon axis carries an explicit 'ep' sharding whose
+    propagation partitions the (E, R) lane tensors, and the pallas
+    backend shard_maps the lane axis over the whole mesh). Two reasons:
+
+    1. Bit-parity. GSPMD compiles a dp-sharded region axis with different
+       per-device vector shapes, reordering fma contractions by ~1 ulp —
+       harmless in the smoother but AMPLIFIED by the NNLS active-set
+       selection (a discrete support flip turned a 1-ulp smoother
+       difference into 6% different trained coefficients in testing).
+       Replicated inputs make the sharded run bit-identical to the
+       single-device run, which tests/test_mesh.py pins.
+    2. Multi-host. Host-side init logic (region_init's data-dependent
+       first-positive search) calls np.asarray on these fields, which
+       raises on non-addressable dp-sharded arrays once the mesh spans
+       processes; replicated arrays stay host-readable everywhere.
+
+    ``axis`` is kept for signature stability; placement is P().
+    """
+    out = {}
+    for k in REGION_BATCH_ARRAY_FIELDS:
+        v = getattr(batch, k)
+        if v is not None:
+            out[k] = put_global(np.asarray(v), mesh, P())
+    return batch._replace(**out)
 
 
 def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,

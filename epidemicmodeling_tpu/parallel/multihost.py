@@ -1,0 +1,248 @@
+"""Multi-host (multi-process) SPMD execution and its dryrun harness.
+
+The reference is a single MATLAB process (SURVEY.md §2.10); scaling beyond
+one host maps its embarrassingly-parallel region x epsilon loop nest onto a
+mesh that SPANS processes:
+
+    dp (regions)  — across hosts: each host's processes own a region shard;
+                    there are no hot-loop collectives between lanes, so DCN
+                    carries only program launch and the final cost gathers.
+    ep (ensemble) — within a host, so any cross-epsilon reduction
+                    (Pareto-front mask, optimal-index select) rides ICI.
+
+Mechanics: every process calls ``jax.distributed.initialize`` against a
+shared coordinator, sees the same GLOBAL device list, builds the same Mesh,
+and materializes identical host data as global arrays shard-by-shard
+(``parallel.mesh.put_global``). ``jit`` then runs one GSPMD program across
+all processes — the same code path as single-host, which is the point: the
+pipeline itself contains no multi-host special cases.
+
+The dryrun harness validates this without real multi-host hardware: N
+OS processes x M virtual CPU devices each (xla_force_host_platform_device
+_count), Gloo collectives over localhost standing in for DCN, and a J0
+parity pin against the identical single-process run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def _set_device_count_flag(flags: str, n: int) -> str:
+    """Force xla_force_host_platform_device_count=n, REPLACING any existing
+    value — a parent test harness (conftest) exports its own count and a
+    child that merely appends-if-absent would inherit the wrong mesh size."""
+    kept = [t for t in flags.split()
+            if "xla_force_host_platform_device_count" not in t]
+    kept.append(f"--xla_force_host_platform_device_count={n}")
+    return " ".join(kept)
+
+
+def init_distributed(coordinator: str, num_processes: int, process_id: int,
+                     local_devices: int) -> None:
+    """Join the distributed runtime with ``local_devices`` virtual CPU
+    devices. Must run before any jax computation in this process: the
+    platform pin and the XLA device-count flag are both backend-init-time
+    settings (env-var JAX_PLATFORMS alone is too late under the axon
+    sitecustomize — see utils/platform.force_cpu_devices)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["XLA_FLAGS"] = _set_device_count_flag(
+        os.environ.get("XLA_FLAGS", ""), local_devices)
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_multihost_mesh(ep: int | None = None, n_total: int | None = None,
+                        axis_names=("dp", "ep")):
+    """Global-device mesh with dp spanning processes and ep within one.
+
+    jax.devices() orders devices process-major, so reshaping to
+    (n_global // ep, ep) with ep <= devices-per-process puts consecutive
+    same-process devices on the ep axis and spreads dp across processes —
+    the DCN layout documented above. Pass ``ep`` explicitly to pin the
+    factorization (the dryrun's single-process reference does, so both
+    runs use the identical mesh shape and device order).
+    """
+    import jax
+
+    devs = jax.devices()
+    if n_total is not None:
+        devs = devs[:n_total]     # a harness may over-provision devices
+    n = len(devs)
+    if ep is None:
+        local = len(jax.local_devices())
+        ep = max(k for k in range(1, local + 1)
+                 if n % k == 0 and local % k == 0)
+    from jax.sharding import Mesh
+    return Mesh(np.array(devs).reshape(n // ep, ep), axis_names)
+
+
+def _worker(out_path: str, coordinator: str, num_processes: int,
+            process_id: int, local_devices: int, R: int, E: int,
+            T_hist: int, horizon: int, backend: str) -> None:
+    init_distributed(coordinator, num_processes, process_id, local_devices)
+    import jax
+    from jax.experimental import multihost_utils
+
+    from .mesh import sharded_train_prescribe_step
+
+    mesh = make_multihost_mesh(ep=local_devices)
+    out = sharded_train_prescribe_step(mesh, R=R, E=E, T_hist=T_hist,
+                                       horizon=horizon, backend=backend)
+    # every process gathers the full (E, R) cost surface; process 0 dumps
+    J0 = np.asarray(multihost_utils.process_allgather(
+        out["J0"], tiled=True))
+    a2 = np.asarray(multihost_utils.process_allgather(
+        out["a2"], tiled=True))
+    print(f"[worker {process_id}] mesh={dict(mesh.shape)} "
+          f"local={len(jax.local_devices())}/{len(jax.devices())} "
+          f"J0 {J0.shape} finite={bool(np.isfinite(J0).all())}", flush=True)
+    if process_id == 0:
+        np.savez(out_path, J0=J0, a2=a2)
+
+
+def _reference(out_path: str, n_devices: int, ep: int, R: int, E: int,
+               T_hist: int, horizon: int, backend: str) -> None:
+    """Identical step on ONE process with n_devices virtual devices — the
+    parity baseline (no distributed runtime, no Gloo). Uses the workers'
+    exact mesh factorization so the two programs are shape-identical."""
+    from ..utils.platform import force_cpu_devices
+
+    if not force_cpu_devices(n_devices):
+        raise RuntimeError("reference: could not force CPU devices")
+    from .mesh import sharded_train_prescribe_step
+
+    mesh = make_multihost_mesh(ep=ep, n_total=n_devices)
+    out = sharded_train_prescribe_step(mesh, R=R, E=E, T_hist=T_hist,
+                                       horizon=horizon, backend=backend)
+    np.savez(out_path, J0=np.asarray(out["J0"]), a2=np.asarray(out["a2"]))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def run_multihost_dryrun(n_devices: int = 8, n_processes: int = 2,
+                         R: int = 4, E: int = 4, T_hist: int = 48,
+                         horizon: int = 16, backend: str = "lanes",
+                         timeout: int = 1800, verbose: bool = True) -> dict:
+    """Spawn ``n_processes`` jax.distributed workers (n_devices split evenly
+    between them) plus a single-process reference, and pin J0/a2 parity.
+
+    Returns {"J0": ..., "max_abs_diff": ...}; raises on any child failure
+    or parity violation. This is the `dryrun_multichip(..., multiprocess=
+    True)` entry (driver contract) and the SURVEY §2.10 DCN demonstration.
+    """
+    if n_devices % n_processes:
+        raise ValueError(f"{n_devices} devices not divisible by "
+                         f"{n_processes} processes")
+    local = n_devices // n_processes
+    port = _free_port()
+    coord = f"localhost:{port}"
+    root = _repo_root()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [root, env.get("PYTHONPATH", "")] if p)
+    # children must re-init their own backends; scrub any inherited pin
+    env.pop("_EPI_DRYRUN_CHILD", None)
+
+    with tempfile.TemporaryDirectory() as td:
+        wout = os.path.join(td, "worker.npz")
+        rout = os.path.join(td, "ref.npz")
+        common = ["--R", str(R), "--E", str(E), "--T-hist", str(T_hist),
+                  "--horizon", str(horizon), "--backend", backend]
+        procs = []
+        for pid in range(n_processes):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m",
+                 "epidemicmodeling_tpu.parallel.multihost", "worker",
+                 "--out", wout, "--coordinator", coord,
+                 "--num-processes", str(n_processes),
+                 "--process-id", str(pid),
+                 "--local-devices", str(local)] + common,
+                env=env, cwd=root, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        ref = subprocess.Popen(
+            [sys.executable, "-m",
+             "epidemicmodeling_tpu.parallel.multihost", "reference",
+             "--out", rout, "--n-devices", str(n_devices),
+             "--local-devices", str(local)] + common,
+            env=env, cwd=root, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+
+        logs = []
+        fail = []
+        for name, p in [(f"worker{i}", q) for i, q in enumerate(procs)] + \
+                       [("reference", ref)]:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                fail.append(f"{name}: timeout after {timeout}s")
+            logs.append(f"--- {name} ---\n{out}")
+            if p.returncode != 0:
+                fail.append(f"{name}: exit {p.returncode}")
+        if verbose:
+            print("\n".join(logs), flush=True)
+        if fail:
+            raise RuntimeError("multihost dryrun failed: " + "; ".join(fail)
+                               + "\n" + "\n".join(logs))
+
+        w = np.load(wout)
+        r = np.load(rout)
+        dj = float(np.max(np.abs(w["J0"] - r["J0"])))
+        da = float(np.max(np.abs(w["a2"] - r["a2"])))
+        if not (np.isfinite(w["J0"]).all() and dj < 1e-9 and da < 1e-9):
+            raise RuntimeError(
+                f"multihost parity violation: max|dJ0|={dj:.3e} "
+                f"max|da2|={da:.3e}")
+        if verbose:
+            print(f"multihost dryrun OK [{backend}]: {n_processes} procs x "
+                  f"{local} devices, J0 {w['J0'].shape}, "
+                  f"max|dJ0| vs single-process = {dj:.2e}", flush=True)
+        return {"J0": w["J0"], "max_abs_diff": dj}
+
+
+def _main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="multihost")
+    ap.add_argument("role", choices=["worker", "reference"])
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--coordinator")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--n-devices", type=int, default=8)
+    ap.add_argument("--R", type=int, default=4)
+    ap.add_argument("--E", type=int, default=4)
+    ap.add_argument("--T-hist", type=int, default=48)
+    ap.add_argument("--horizon", type=int, default=16)
+    ap.add_argument("--backend", default="lanes")
+    a = ap.parse_args(argv)
+    if a.role == "worker":
+        _worker(a.out, a.coordinator, a.num_processes, a.process_id,
+                a.local_devices, a.R, a.E, a.T_hist, a.horizon, a.backend)
+    else:
+        _reference(a.out, a.n_devices, a.local_devices, a.R, a.E, a.T_hist,
+                   a.horizon, a.backend)
+
+
+if __name__ == "__main__":
+    _main()

@@ -66,13 +66,16 @@ def region_init(batch, cfg: PipelineConfig) -> RegionInit:
     (TrainPredictPrescribeNPI.m:200-237). Host-side numpy (data-dependent
     first-positive search), done once per dataset."""
     R, T = batch.observations.shape
-    nc_smooth = batch.new_cases_norm * batch.population[:, None]  # abs cases
+    # force numpy upfront: these fields may be replicated jax arrays under
+    # a mesh (parallel.mesh.REGION_BATCH_ARRAY_FIELDS) and the search
+    # below is host logic — one bulk fetch beats R eager device ops
+    N = np.asarray(batch.population)
+    nc_smooth = np.asarray(batch.new_cases_norm) * N[:, None]  # abs cases
     I0 = np.zeros(R)
     for r in range(R):
         x = nc_smooth[r]
         pos = x[np.isfinite(x) & (x > 0)][: cfg.first_num_days_for_case_estimation]
         I0[r] = max(cfg.min_cases, float(pos.mean()) if pos.size else 0.0)
-    N = batch.population
     s_noise = cfg.s_noise_factor * I0 / N
     i_noise = cfg.i_noise_factor * I0 / N
     a_noise = np.full(R, cfg.alpha_noise_std)
@@ -86,6 +89,38 @@ def region_init(batch, cfg: PipelineConfig) -> RegionInit:
     return RegionInit(jnp.asarray(I0), jnp.asarray(s_init), jnp.asarray(Ps),
                       jnp.asarray(Q), jnp.asarray(s_noise),
                       jnp.asarray(i_noise))
+
+
+def _hcast(x, fd):
+    """Upload-side cast: host array in -> numpy ``fd`` array out, so the
+    cast happens once on host and the tunnel carries half the bytes vs
+    f64. An array already on device with the right dtype passes through
+    UNTOUCHED — this is what makes device_batch() effective: repeated
+    stage calls reuse the resident copy instead of re-uploading per stage
+    (a traced warm bench run spent ~45% of wall-clock on exactly these
+    per-stage casts/uploads/dispatch syncs: 306 ms device vs 535 ms wall).
+    """
+    if isinstance(x, jax.Array) and x.dtype == fd:
+        return x
+    return np.asarray(x, fd)
+
+
+def device_batch(batch, dtype=None):
+    """Pre-upload a RegionBatch's hot array fields (observations, npis,
+    obs_noise_var) to the device in the compute dtype (f32 on TPU).
+
+    Every stage wrapper routes batch fields through _hcast, so a
+    device-resident batch flows straight into the jitted stages with no
+    per-stage host cast + tunnel upload (the (R, T, P) NPI tensor alone is
+    ~6 MB at bench scale and was uploaded by four separate stages).
+    Fields consumed by host-side logic (new_cases_norm and population:
+    region_init's data-dependent first-positive search) stay numpy.
+    """
+    fd = np.dtype(dtype or jnp.result_type(float))
+    return batch._replace(
+        observations=jnp.asarray(np.asarray(batch.observations, fd)),
+        npis=jnp.asarray(np.asarray(batch.npis, fd)),
+        obs_noise_var=jnp.asarray(np.asarray(batch.obs_noise_var, fd)))
 
 
 def _base_params(cfg: PipelineConfig, npi_mins, npi_maxes, R, dtype):
@@ -280,10 +315,10 @@ def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
     init = region_init(batch, cfg)
     fd = np.dtype(fdtype)   # cast on host: halves the device upload vs f64
     a1, b1, a2, b2, s_sm1, s_sm2, rho1, rho2 = _train_impl(
-        np.asarray(batch.observations, fd), np.asarray(batch.npis, fd),
+        _hcast(batch.observations, fd), _hcast(batch.npis, fd),
         np.asarray(npi_mins, fd), np.asarray(npi_maxes, fd),
         np.asarray(batch.population, fd),
-        np.asarray(batch.obs_noise_var, fd),
+        _hcast(batch.obs_noise_var, fd),
         init, cfg=cfg, num_regression_days=int(num_regression_days),
         fdtype=fd, mesh=_pallas_mesh(cfg, mesh))
 
@@ -373,10 +408,10 @@ def forecast_scenarios(batch_full, trained: TrainedRegionParams,
     fdtype = dtype or jnp.result_type(float)
     fd = np.dtype(fdtype)
     fixed, zero, full, act, s_hist = _scenarios_prep_impl(
-        np.asarray(batch_full.observations, fd),
-        np.asarray(batch_full.npis, fd),
+        _hcast(batch_full.observations, fd),
+        _hcast(batch_full.npis, fd),
         np.asarray(batch_full.population, fd),
-        np.asarray(batch_full.obs_noise_var, fd), trained.a2, trained.b2,
+        _hcast(batch_full.obs_noise_var, fd), trained.a2, trained.b2,
         np.asarray(npi_mins, fd), np.asarray(npi_maxes, fd),
         np.asarray(npi_weights, fd), init,
         None if actual_npis is None else np.asarray(actual_npis, fd),
@@ -778,10 +813,10 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     E = len(epsilon_values)
     fd = np.dtype(fdtype)
     prep = _pareto_prep_impl(
-        np.asarray(batch_full.observations, fd),
-        np.asarray(batch_full.npis, fd),
+        _hcast(batch_full.observations, fd),
+        _hcast(batch_full.npis, fd),
         np.asarray(batch_full.population, fd),
-        np.asarray(batch_full.obs_noise_var, fd), trained.a2, trained.b2,
+        _hcast(batch_full.obs_noise_var, fd), trained.a2, trained.b2,
         np.asarray(npi_mins, fd), np.asarray(npi_maxes, fd),
         np.asarray(npi_weights, fd), init, s_hist,
         cfg=cfg, T_hist=T_hist, fdtype=fd)
@@ -812,13 +847,13 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
         keys_all = keys.reshape(n_chunks, chunk, 2)
         if mesh is not None:
             # shard the epsilon ensemble axis over the 'ep' mesh axis so
-            # the (E, R) lane grid occupies the full 2-D mesh
-            from jax.sharding import NamedSharding
+            # the (E, R) lane grid occupies the full 2-D mesh (put_global
+            # handles meshes spanning processes — the multi-host case)
             from jax.sharding import PartitionSpec as _PS
-            eps_all = jax.device_put(
-                eps_all, NamedSharding(mesh, _PS(None, "ep")))
-            keys_all = jax.device_put(
-                keys_all, NamedSharding(mesh, _PS(None, "ep", None)))
+            from ..parallel.mesh import put_global
+            eps_all = put_global(eps_all, mesh, _PS(None, "ep"))
+            keys_all = put_global(np.asarray(keys_all), mesh,
+                                  _PS(None, "ep", None))
         outs = _sweep_all_lanes_impl(
             eps_all, keys_all, u_in, obs, R_v, params, QQ, PPs, ss_init,
             s_final, Ps_final, s_hist_f, w_rp, s_nstd, i_nstd,
@@ -905,7 +940,7 @@ def scenario_from_schedule(batch_full, trained: TrainedRegionParams,
     fdtype = dtype or jnp.result_type(float)
     fd = np.dtype(fdtype)
     return _schedule_scenario_impl(
-        np.asarray(batch_full.npis, fd), np.asarray(u_future, fd),
+        _hcast(batch_full.npis, fd), np.asarray(u_future, fd),
         trained.a2, trained.b2, np.asarray(npi_mins, fd),
         np.asarray(npi_maxes, fd), np.asarray(npi_weights, fd), init,
         s_hist, key if cfg.stochastic_forecast else None,
@@ -925,7 +960,7 @@ def monte_carlo_baseline(batch_full, trained: TrainedRegionParams,
         key = jax.random.PRNGKey(0)
     fd = np.dtype(fdtype)
     J0, J1, u_rand = _monte_carlo_prep_impl(
-        np.asarray(batch_full.npis, fd), trained.a2, trained.b2,
+        _hcast(batch_full.npis, fd), trained.a2, trained.b2,
         np.asarray(npi_mins, fd), np.asarray(npi_maxes, fd),
         np.asarray(npi_weights, fd), init, s_hist, key,
         cfg=cfg, T_hist=T_hist, fdtype=fd)

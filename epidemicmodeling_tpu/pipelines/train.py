@@ -39,7 +39,10 @@ def estimate_mortality_beta(batch, deaths_smoothed, confirmed_deaths,
     deaths; confirmed_deaths: (R, T) cumulative deaths.
     """
     R, T = batch.observations.shape
-    cases_smoothed = batch.new_cases_norm * batch.population[:, None]
+    # numpy upfront: these fields may be replicated jax arrays under a
+    # mesh (parallel.mesh.REGION_BATCH_ARRAY_FIELDS); host math below
+    pop = np.asarray(batch.population)
+    cases_smoothed = np.asarray(batch.new_cases_norm) * pop[:, None]
     conf_smoothed = np.cumsum(cases_smoothed, axis=1)
     dead_smoothed_cum = np.cumsum(np.asarray(deaths_smoothed), axis=1)
 
@@ -50,7 +53,7 @@ def estimate_mortality_beta(batch, deaths_smoothed, confirmed_deaths,
     med_recent = np.median(mr[:, q:], axis=1)
 
     i_smooth = np.asarray(train_out.s_smooth_round2[:, :, 1])
-    cum_inf = np.cumsum(batch.population[:, None] * i_smooth, axis=1)
+    cum_inf = np.cumsum(pop[:, None] * i_smooth, axis=1)
     beta_est = np.asarray(confirmed_deaths) / cum_inf
     beta_est = beta_est / np.where(med_recent[:, None] > 0,
                                    med_recent[:, None], np.nan)

@@ -176,7 +176,7 @@ def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
     dp and the epsilon sweep over ep (see train_predict_prescribe)."""
     import contextlib
     if mesh is not None:
-        from ..parallel.mesh import shard_batch_arrays, shard_region_batch
+        from ..parallel.mesh import shard_region_batch
         R = len(batch_train.names)
         if R % mesh.shape["dp"]:
             raise ValueError(
@@ -192,9 +192,20 @@ def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
         batch_train = shard_region_batch(mesh, batch_train)
         batch_full = shard_region_batch(mesh, batch_full)
         if actual_npis is not None:
-            actual_npis = shard_batch_arrays(mesh, actual_npis)
+            # replicated like the batch fields (see shard_region_batch:
+            # bit-parity + multi-host host-readability)
+            from jax.sharding import PartitionSpec as _PS
+            from ..parallel.mesh import put_global
+            actual_npis = put_global(np.asarray(actual_npis), mesh, _PS())
         ctx = mesh
     else:
+        # single-device: pre-upload the hot batch fields ONCE in the
+        # compute dtype so the four stages reuse the resident arrays
+        # instead of re-casting + re-uploading per stage (see
+        # core.device_batch)
+        from .core import device_batch
+        batch_train = device_batch(batch_train, dtype)
+        batch_full = device_batch(batch_full, dtype)
         ctx = contextlib.nullcontext()
     with ctx:
         return _run_pipeline_body(

@@ -48,8 +48,11 @@ def test_lstm_forecast_example(capsys):
 def test_make_figures_example(tmp_path):
     from make_figures import main
     main(outdir=str(tmp_path))
-    pngs = list(tmp_path.glob("*.png"))
-    assert pngs, "make_figures wrote no figures"
+    pngs = {p.name for p in tmp_path.glob("*.png")}
+    # the full reference QC suite incl. the r4 additions
+    # (TrainPredictPrescribeNPI.m:534-908)
+    assert {"states.png", "scenarios.png", "pareto.png",
+            "training_diagnostic.png", "npi_schedule.png"} <= pngs
 
 
 def test_realistic_data_pipeline_example(capsys):
