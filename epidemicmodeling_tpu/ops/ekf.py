@@ -250,7 +250,14 @@ def ekf_smoother(
 
         if adaptive_R:
             R_estim = jnp.sum(cov_buf, axis=0) / cnt
-            R_next = jnp.where(valid, beta * R_k + (1.0 - beta) * R_estim, R_k)
+            R_adapt = beta * R_k + (1.0 - beta) * R_estim
+            # On a NaN step GEKF.m:180-185 skips the R(:,:,k+1) array write,
+            # so the pre-filled cell keeps the FIXED prior: a NaN hole
+            # RESETS the adapted R to the prior. The pre-generic estimators
+            # instead hold R in a scalar variable (NewCaseEKF...m:103-110,
+            # Rt_ExpFitEKF.m:97-99), so not updating means CARRYING it.
+            R_hold = R_k if adaptive_R_always else R_sched_k
+            R_next = jnp.where(valid, R_adapt, R_hold)
         else:
             R_next = R_carry
 

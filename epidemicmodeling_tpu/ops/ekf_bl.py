@@ -228,8 +228,12 @@ def ekf_smoother_bl(
             if adaptive:
                 cov_buf_n = jnp.concatenate([cc[None], cov_buf[:-1]])
                 R_estim = jnp.sum(cov_buf_n, axis=0) / cnt
+                # NaN step: GEKF.m:180-185 skips the R(:,:,k+1) array write,
+                # so the cell keeps the fixed prior — reset to R[0] (the
+                # documented prior row), don't carry.
                 R_next = jnp.where(valid,
-                                   beta * R_k + (1.0 - beta) * R_estim, R_k)
+                                   beta * R_k + (1.0 - beta) * R_estim,
+                                   R[0])
                 return ((s_next, P_next, mean_buf_n, covn_buf_n, cov_buf_n,
                          R_next),
                         (s_minus, P_minus, s_plus, P_plus, u_opt_k, rho_k))

@@ -108,7 +108,8 @@ def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
             P_carry[i] = pinit_ref[i]
         if adaptive:
             mon_carry[...] = jnp.zeros_like(mon_carry)
-            mon_carry[2 * L_pad] = r_ref[0, 0]
+            mon_carry[2 * L_pad] = r_ref[0, 0]       # adapted R
+            mon_carry[2 * L_pad + 1] = r_ref[0, 0]   # immutable prior copy
 
     scal = [scal_ref[i] for i in range(8)]
     vecs = [[vecs_ref[v, k] for k in range(NPI)] for v in range(2)]
@@ -174,8 +175,10 @@ def _fwd3_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
             old_covs = [mon_carry[L_pad + i] for i in range(L_mon - 1)]
             cov_rows = [cc] + old_covs
             R_estim = jnp.sum(jnp.stack(cov_rows), axis=0) / cnt
+            # NaN step resets R to the fixed prior: GEKF.m:180-185 skips
+            # the R(:,:,k+1) array write, so the cell keeps the prior
             R_next = jnp.where(valid, beta * R_t + (1.0 - beta) * R_estim,
-                               R_t)
+                               mon_carry[2 * L_pad + 1])
             for i in range(L_mon):
                 mon_carry[i] = mean_rows[i]
             for i in range(L_mon):
@@ -334,7 +337,7 @@ def ekf3_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     # adaptive-R windows live in VMEM scratch only when adaptive; a single
     # placeholder row otherwise so the non-adaptive hot path keeps its full
     # VMEM budget
-    mon_rows = (2 * (-(-int(inv_monitor_len) // 8) * 8) + 1
+    mon_rows = (2 * (-(-int(inv_monitor_len) // 8) * 8) + 2
                 if beta != 1.0 else 1)
 
     fwd = pl.pallas_call(

@@ -161,11 +161,14 @@ def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
                 pinit_ref, sm_ref, sp_ref, pm_ref, pp_ref,
                 s_carry, P_carry, mon_carry, *, t_seg, gamma_discount,
                 obs_type="NEWCASES", beta=1.0, inv_monitor_len=21):
-    """mon_carry (2*L_pad + 1, BT) VMEM scratch holds the adaptive-R state
+    """mon_carry (2*L_pad + 2, BT) VMEM scratch holds the adaptive-R state
     when beta != 1 (GEKF.m:171-185): rows [0, L) = innovation window
     (newest first), rows [L_pad, L_pad + L) = innovation-deviation-squared
-    window, last row = the adapted R. L is padded to a multiple of 8 so the
-    row blocks stay sublane-aligned; the pad rows are kept at zero."""
+    window, row 2*L_pad = the adapted R, row 2*L_pad + 1 = the immutable
+    fixed prior (NaN steps reset R to it: GEKF.m:180-185 skips the
+    R(:,:,k+1) array write, so the pre-filled cell keeps the prior). L is
+    padded to a multiple of 8 so the row blocks stay sublane-aligned; the
+    pad rows are kept at zero."""
     seg = pl.program_id(1)
     adaptive = beta != 1.0
     L_mon = int(inv_monitor_len)
@@ -180,7 +183,8 @@ def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
                 P_carry[i * M + j] = pinit_ref[i * M + j]
         if adaptive:
             mon_carry[...] = jnp.zeros_like(mon_carry)
-            mon_carry[2 * L_pad] = r_ref[0, 0]   # R prior = schedule row 0
+            mon_carry[2 * L_pad] = r_ref[0, 0]       # R prior = sched row 0
+            mon_carry[2 * L_pad + 1] = r_ref[0, 0]   # immutable prior copy
 
     scal = [scal_ref[i] for i in range(8)]
     vecs = [[vecs_ref[v, k] for k in range(NPI)] for v in range(4)]
@@ -256,8 +260,9 @@ def _fwd_kernel(u_ref, x_ref, r_ref, scal_ref, vecs_ref, sinit_ref,
             old_covs = [mon_carry[L_pad + i] for i in range(L_mon - 1)]
             cov_rows = [cc] + old_covs
             R_estim = jnp.sum(jnp.stack(cov_rows), axis=0) / cnt
+            # NaN step resets R to the fixed prior (see docstring)
             R_next = jnp.where(valid, beta * R_t + (1.0 - beta) * R_estim,
-                               R_t)
+                               mon_carry[2 * L_pad + 1])
             for i in range(L_mon):
                 mon_carry[i] = mean_rows[i]
             for i in range(L_mon):
@@ -478,7 +483,7 @@ def ekf6_pallas(u, x, Rv, scal, vecs, s_init, Ps_init, s_final, Ps_final,
     # adaptive-R windows live in VMEM scratch only when adaptive; a single
     # placeholder row otherwise so the non-adaptive hot path keeps its full
     # VMEM budget
-    mon_rows = (2 * (-(-int(inv_monitor_len) // 8) * 8) + 1
+    mon_rows = (2 * (-(-int(inv_monitor_len) // 8) * 8) + 2
                 if beta != 1.0 else 1)
 
     # ---- forward ----

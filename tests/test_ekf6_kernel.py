@@ -283,6 +283,7 @@ def test_ekf3_pallas_adaptive_R_matches_bl_core():
     u = rng.integers(0, 3, (T, 12, B)).astype(np.float32)
     x = np.abs(rng.normal(1e-4, 2e-5, (T, B))).astype(np.float32)
     x[T_hist:] = np.nan
+    x[25:30] = np.nan   # interior hole: adapted R must reset to the prior
     Rv = np.full((T, B), 4e-10, np.float32)
     params = {
         "dt": jnp.full((B,), 1.0, jnp.float32),
