@@ -37,6 +37,11 @@ class PipelineConfig:
                                             # NONNEGATIVELS-ELEMENT-WISE
     nonneg_iterations: int = 100
     lasso_cv_folds: int = 50
+    lasso_cv_shuffle_seed: int = -1         # >= 0 randomizes the CV fold
+                                            # assignment like MATLAB's
+                                            # cvpartition (lasso(...,'CV'));
+                                            # -1 keeps the deterministic
+                                            # interleaved (i mod K) folds
 
     # EKF settings (:224-237)
     beta_ekf: float = 1.0                   # adaptive-R blending (1 = off).

@@ -252,8 +252,13 @@ def _regress(cfg: PipelineConfig, x_data, y_data):
         return nnls_with_intercept(x_data, y_data,
                                    iterations=cfg.nonneg_iterations)
     if cfg.regression_type == "LASSO":
+        # fold randomization mirrors MATLAB's cvpartition when a seed is
+        # configured (TrainPredictPrescribeNPI.m:255 lasso(...,'CV',50));
+        # default stays the deterministic interleave for reproducibility
+        key = (jax.random.PRNGKey(cfg.lasso_cv_shuffle_seed)
+               if cfg.lasso_cv_shuffle_seed >= 0 else None)
         coef, intercept, _ = lasso_cv(x_data, y_data,
-                                      n_folds=cfg.lasso_cv_folds)
+                                      n_folds=cfg.lasso_cv_folds, key=key)
         return coef, intercept
     if cfg.regression_type == "NONNEGATIVELS-ELEMENT-WISE":
         return robust_affine_fit_elementwise(x_data, y_data)

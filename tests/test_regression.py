@@ -124,6 +124,32 @@ def test_lasso_cv_selects_reasonable_model():
     assert np.all(np.abs(coef[[0, 2, 3, 4, 6, 7, 8, 9, 10, 11]]) < 0.15)
 
 
+def test_lasso_cv_shuffled_folds_match_interleaved_model():
+    """cvpartition-style randomized folds (key=...) select essentially the
+    same model as the deterministic interleave on smooth data — the
+    estimator is partition-insensitive here, which is why the interleaved
+    default is an acceptable stand-in for MATLAB's random cvpartition."""
+    import jax
+    rng = np.random.default_rng(6)
+    n, p = 150, 12
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p); beta[[1, 5]] = [1.5, -2.0]
+    y = X @ beta + 0.2 * rng.standard_normal(n)
+    c0, b0, _ = lasso_cv(jnp.asarray(X), jnp.asarray(y), n_folds=10,
+                         n_lambda=50)
+    c1, b1, _ = lasso_cv(jnp.asarray(X), jnp.asarray(y), n_folds=10,
+                         n_lambda=50, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=0.1)
+    assert abs(float(b1) - float(b0)) < 0.1
+    # and the pipeline dispatch accepts the config knob
+    from epidemicmodeling_tpu.pipelines.config import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import _regress
+    cfg = PipelineConfig(regression_type="LASSO", lasso_cv_folds=10,
+                         lasso_cv_shuffle_seed=3)
+    a, b = _regress(cfg, jnp.asarray(X), jnp.asarray(y))
+    assert np.isfinite(np.asarray(a)).all() and np.isfinite(float(b))
+
+
 def test_robust_elementwise_fit_ignores_outliers():
     rng = np.random.default_rng(7)
     n, p = 200, 4
