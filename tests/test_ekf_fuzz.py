@@ -74,6 +74,34 @@ def test_ekf_fuzz_matches_oracle(seed):
     assert_parity(res, ref)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_ekf_fuzz_time_varying_Q_and_vbar(seed):
+    """Time-varying (T, l, l) process-noise schedule + nonzero observation
+    noise mean v_bar (GEKF.m:64-91 input forms), with interior NaN holes,
+    vs the oracle (which takes the MATLAB time-LAST (l, l, T) layout)."""
+    rng = np.random.default_rng(5000 + seed)
+    T = 90
+    u, obs, params, pr, s_init, Ps_init, Q, R_v = make_setup(T=T, seed=seed)
+    obs[30:35] = np.nan
+    # Q ramps over time: scale the base diagonal per-step
+    scale = 10.0 ** rng.uniform(-0.5, 0.5, T)
+    Q_t = Q[None, :, :] * scale[:, None, None]          # (T, 3, 3)
+    v_bar = np.array([float(rng.normal(0.0, 0.2 * np.nanstd(obs)))])
+
+    res = ekf_smoother(
+        si_alpha_ekf_system("NEWCASES"), jnp.asarray(u), jnp.asarray(obs),
+        params, jnp.asarray(s_init), jnp.asarray(Ps_init), None, None,
+        v_bar=jnp.asarray(v_bar), Q=jnp.asarray(Q_t), R=jnp.asarray(R_v),
+        gamma_discount=0.995, inv_monitor_len=21)
+    handles = oracle_ekf.si_alpha_handles("NEWCASES")
+    pr_np = {k: np.asarray(v, float) for k, v in pr.items()}
+    ref = oracle_ekf.generic_ekf(
+        u.T, obs.reshape(1, -1), handles, pr_np, s_init, Ps_init,
+        np.full(3, np.nan), np.full((3, 3), np.nan), np.zeros(3), v_bar,
+        np.moveaxis(Q_t, 0, 2), R_v, 1.0, 0.995, 21, 1)
+    assert_parity(res, ref)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_costate_fuzz_matches_oracle(seed):
     """6-state optimal-control system (bang-bang NaN-input fill,
@@ -164,6 +192,60 @@ def test_costate_fuzz_matches_oracle(seed):
         assert np.isfinite(np.asarray(res.s_smooth)).all()
         flip = np.mean(np.asarray(res.u_opt_smooth) != ref[1].T)
         assert flip < 0.01, f"bang-bang flip fraction {flip}"
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("seed", range(3))
+def test_rt_ekf_fuzz_matches_pregeneric_oracle(seed, order):
+    """The Rt exponential-fit EKF/EKS (the reference's only 2nd-order EKF)
+    vs an independent transcription of Tools/Rt_ExpFitEKF.m — the
+    PRE-generic numerics: simple covariance update, no symmetrization,
+    mrdivide smoother gain, and a scalar adaptive R that CARRIES through
+    NaN steps (:97-99), unlike the generic filter's reset-to-prior.
+    Randomized: order, adaptive beta, interior NaN holes, nonzero noise
+    means, gamma."""
+    from epidemicmodeling_tpu.rt.estimators import rt_expfit_ekf
+    from tests.oracle_rt import rt_expfit_ekf_oracle
+
+    rng = np.random.default_rng(6000 + seed)
+    T = 90
+    lam = float(rng.uniform(0.01, 0.06))
+    x = 5.0 * np.exp(lam * np.arange(T)) * np.exp(
+        0.03 * rng.standard_normal(T))
+    for _ in range(rng.integers(1, 3)):       # interior holes
+        start = int(rng.integers(10, T - 15))
+        x[start:start + int(rng.integers(2, 7))] = np.nan
+    ts, al, sg = 1.0, float(rng.uniform(0.8, 1.0)), float(rng.choice([1.0, 5.0]))
+    w_bar = np.array([0.0, float(rng.normal(0.0, 0.01))])
+    v_bar = np.array([float(rng.normal(0.0, 0.05))])
+    s_init = np.array([5.0, 0.0])
+    Ps_init = np.diag([1.0, 0.1])
+    Q = np.diag([1e-2, 1e-4]) * 10.0 ** rng.uniform(-0.5, 0.5)
+    R = np.array([[1e-2]])
+    beta = float(rng.choice([1.0, 0.9]))
+    gamma = float(rng.choice([1.0, 0.995]))
+
+    res = rt_expfit_ekf(jnp.asarray(x), s_init=jnp.asarray(s_init),
+                        time_scale=ts, alpha=al, sigma=sg,
+                        w_bar=jnp.asarray(w_bar), v_bar=jnp.asarray(v_bar),
+                        Ps_init=jnp.asarray(Ps_init), Q_w=jnp.asarray(Q),
+                        R_v=jnp.asarray(R), beta=beta, gamma=gamma,
+                        order=order)
+    (S_MINUS, S_PLUS, P_MINUS, P_PLUS, K_GAIN, S_SMOOTH, P_SMOOTH,
+     innovations, rho) = rt_expfit_ekf_oracle(
+        x, s_init, (ts, al, sg), w_bar, v_bar, Ps_init, Q, R, beta, gamma,
+        21, order)
+    np.testing.assert_allclose(np.asarray(res.s_minus), S_MINUS.T,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.s_plus), S_PLUS.T,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.P_plus),
+                               np.moveaxis(P_PLUS, 2, 0), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.s_smooth), S_SMOOTH.T,
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(res.rho).reshape(-1), rho,
+                               rtol=1e-9, atol=1e-12)
 
 
 @pytest.mark.parametrize("seed", range(3))
