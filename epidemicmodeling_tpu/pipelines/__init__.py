@@ -8,6 +8,7 @@ from .core import (
     scenario_from_schedule,
 )
 from .train_predict_prescribe import train_predict_prescribe
+from . import forecast_quality, prescribe
 from .checkpoint import (save_trained_params, load_trained_params,
                          save_trained_params_orbax, load_trained_params_orbax,
                          load_trained_params_mat,
