@@ -1,4 +1,8 @@
-"""parallel/mesh.py unit tests: mesh factorization and fail-fast sharding."""
+"""parallel/mesh.py unit tests: mesh factorization and fail-fast sharding.
+
+The full-pipeline sharded-vs-single-device parity tests live in
+test_mesh_pipeline.py (split so each file fits the per-file runner's
+900 s bound on 1-CPU hosts)."""
 
 import numpy as np
 import pytest
@@ -42,58 +46,6 @@ def test_shard_batch_arrays_nonstrict_warns_and_replicates():
         out = shard_batch_arrays(mesh, bad, strict=False)
     assert out["a"].sharding.spec == P()
     np.testing.assert_array_equal(np.asarray(out["a"]), bad["a"])
-
-
-@pytest.mark.parametrize("backend", ["lanes", "pallas"])
-def test_full_pipeline_sharded_matches_single_device(backend):
-    """run_pipeline(mesh=...) over the 8-device CPU mesh must produce the
-    same prescriptions/costs as the unsharded run — SPMD partitioning only
-    changes placement, not semantics (no cross-lane reductions in the hot
-    scans). The pallas leg exercises the shard_map wiring around both fused
-    kernels (a Mosaic kernel cannot be auto-partitioned by XLA), in
-    interpret mode on the virtual CPU mesh; this is the CLI's shipped
-    default backend."""
-    import jax.numpy as jnp
-    from epidemicmodeling_tpu.data import synthetic_oxford_frame
-    from epidemicmodeling_tpu.data.preprocess import (
-        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
-    from epidemicmodeling_tpu.pipelines import PipelineConfig
-    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
-        run_pipeline
-    from epidemicmodeling_tpu.control import epsilon_grid
-
-    _, _, truth = synthetic_oxford_frame(n_regions=4, n_days=120, seed=2)
-    sers, names = [], []
-    for name, tr in truth.items():
-        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
-        sers.append(preprocess_region(np.cumsum(nc)[:100], None,
-                                      tr["u"][:100], tr["pop"]))
-        names.append(name)
-    bt = build_region_batch(sers, names)
-    bf = build_region_batch(sers, names, horizon=19)
-    eps = np.asarray(epsilon_grid(8))
-    cfg = PipelineConfig(backend=backend, pareto_chunk=4, num_monte_carlo=16,
-                         smoother_gain="solve")
-    kw = dict(npi_weights=np.ones(12), epsilon_values=eps,
-              npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
-              num_regression_days=100, cfg=cfg)
-
-    single = run_pipeline(bt, bf, None, 100, **kw)
-    mesh = make_mesh(8)
-    sharded = run_pipeline(bt, bf, None, 100, mesh=mesh, **kw)
-
-    np.testing.assert_allclose(np.asarray(sharded.pareto["J0"]),
-                               np.asarray(single.pareto["J0"]),
-                               rtol=1e-12, atol=1e-15)
-    np.testing.assert_allclose(np.asarray(sharded.pareto["J1"]),
-                               np.asarray(single.pareto["J1"]),
-                               rtol=1e-12, atol=1e-15)
-    np.testing.assert_array_equal(
-        np.asarray(sharded.pareto["u_prescribed"]),
-        np.asarray(single.pareto["u_prescribed"]))
-    np.testing.assert_allclose(np.asarray(sharded.trained.a2),
-                               np.asarray(single.trained.a2),
-                               rtol=1e-12, atol=1e-15)
 
 
 def test_pipeline_mesh_rejects_indivisible_regions():
@@ -172,46 +124,3 @@ def test_pad_for_mesh_per_device_tiles():
     # boundary: exactly at the wide-tile threshold per device
     n, pad = pad_for_mesh(2048 * 8, mesh)
     assert pad == 0
-
-
-def test_sharded_pallas_stochastic_matches_single_device():
-    """The deepest config stack — pallas kernels under shard_map, stochastic
-    forecast noise from per-epsilon keys sharded over ep — must still equal
-    the single-device run: the noise layout (eps-major lanes, padded with
-    replicated draws that never reach an output) interacts with the mesh
-    partitioning nowhere else tested."""
-    import jax
-    from epidemicmodeling_tpu.data import synthetic_oxford_frame
-    from epidemicmodeling_tpu.data.preprocess import (
-        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
-    from epidemicmodeling_tpu.pipelines import PipelineConfig
-    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
-        run_pipeline
-    from epidemicmodeling_tpu.control import epsilon_grid
-
-    _, _, truth = synthetic_oxford_frame(n_regions=4, n_days=100, seed=9)
-    sers, names = [], []
-    for name, tr in truth.items():
-        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
-        sers.append(preprocess_region(np.cumsum(nc)[:80], None,
-                                      tr["u"][:80], tr["pop"]))
-        names.append(name)
-    bt = build_region_batch(sers, names)
-    bf = build_region_batch(sers, names, horizon=11)
-    cfg = PipelineConfig(backend="pallas", pareto_chunk=4,
-                         num_monte_carlo=8, smoother_gain="solve",
-                         stochastic_forecast=True)
-    kw = dict(npi_weights=np.ones(12),
-              epsilon_values=np.asarray(epsilon_grid(4)),
-              npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
-              num_regression_days=80, cfg=cfg,
-              key=jax.random.PRNGKey(3))
-
-    single = run_pipeline(bt, bf, None, 80, **kw)
-    sharded = run_pipeline(bt, bf, None, 80, mesh=make_mesh(8), **kw)
-    np.testing.assert_allclose(np.asarray(sharded.pareto["J0"]),
-                               np.asarray(single.pareto["J0"]),
-                               rtol=1e-12, atol=1e-15)
-    np.testing.assert_array_equal(
-        np.asarray(sharded.pareto["u_prescribed"]),
-        np.asarray(single.pareto["u_prescribed"]))
