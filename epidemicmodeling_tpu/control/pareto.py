@@ -42,7 +42,6 @@ def pareto_front_mask(J0, J1):
 
 
 @jax.jit
-@jax.jit
 def pareto_front_mask_batched(J0, J1):
     """Vectorized per-region front membership: J0, J1 (E, R) -> (E, R).
     Jitted: the (E, E, R) dominance cube is one fused device kernel and a

@@ -120,7 +120,7 @@ def shard_region_batch(mesh: Mesh, batch, axis: str = "dp"):
        selection (a discrete support flip turned a 1-ulp smoother
        difference into 6% different trained coefficients in testing).
        Replicated inputs make the sharded run bit-identical to the
-       single-device run, which tests/test_mesh.py pins.
+       single-device run, which tests/test_mesh_pipeline.py pins.
     2. Multi-host. Host-side init logic (region_init's data-dependent
        first-positive search) calls np.asarray on these fields, which
        raises on non-addressable dp-sharded arrays once the mesh spans
@@ -142,10 +142,11 @@ def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
     """Build and run ONE full train->prescribe step over the mesh on tiny
     synthetic shapes: the multi-chip validation entry (driver contract).
 
-    - training (two EKF rounds + NNLS regression): regions sharded over dp,
-      replicated over ep
-    - Pareto sweep (6-state optimal-control EKS): (E, R) lanes sharded over
-      (ep, dp)
+    - training (two EKF rounds + NNLS regression): region inputs
+      REPLICATED (see shard_region_batch above for why)
+    - Pareto sweep (6-state optimal-control EKS): the epsilon axis carries
+      an 'ep' sharding whose propagation partitions the (E, R) lane work
+      (pallas: shard_map over the whole mesh)
 
     backend: "lanes" (XLA auto-SPMD partitions the batch-last scan) or
     "pallas" (the fused kernels are shard_mapped over the mesh — the CLI's
@@ -175,7 +176,8 @@ def sharded_train_prescribe_step(mesh: Mesh, R: int, E: int, T_hist: int,
     batch_train = build_region_batch(sers, names)
     batch_full = build_region_batch(sers, names, horizon=horizon)
 
-    # shard the region axis over dp
+    # replicate the region inputs onto the mesh (NOT dp-sharded — see
+    # shard_region_batch's docstring)
     batch_train = shard_region_batch(mesh, batch_train)
     batch_full = shard_region_batch(mesh, batch_full)
 

@@ -117,10 +117,13 @@ def device_batch(batch, dtype=None):
     region_init's data-dependent first-positive search) stay numpy.
     """
     fd = np.dtype(dtype or jnp.result_type(float))
+    # _hcast passes already-resident fields through untouched, so calling
+    # device_batch on an already-uploaded batch (every warm run_pipeline
+    # call re-enters here) is free instead of a device->host->device trip.
     return batch._replace(
-        observations=jnp.asarray(np.asarray(batch.observations, fd)),
-        npis=jnp.asarray(np.asarray(batch.npis, fd)),
-        obs_noise_var=jnp.asarray(np.asarray(batch.obs_noise_var, fd)))
+        observations=jnp.asarray(_hcast(batch.observations, fd)),
+        npis=jnp.asarray(_hcast(batch.npis, fd)),
+        obs_noise_var=jnp.asarray(_hcast(batch.obs_noise_var, fd)))
 
 
 def _base_params(cfg: PipelineConfig, npi_mins, npi_maxes, R, dtype):
@@ -883,6 +886,14 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     for c0 in range(0, E_pad, chunk):
         eps_chunk = jnp.asarray(eps_padded[c0:c0 + chunk], fdtype)
         key_chunk = keys[c0:c0 + chunk]
+        if mesh is not None:
+            # shard the epsilon ensemble axis over the 'ep' mesh axis so
+            # the (E, R) lane grid occupies the full 2-D mesh (the
+            # lanes/pallas path does the same to its stacked chunks above)
+            from jax.sharding import PartitionSpec as _PS
+            from ..parallel.mesh import put_global
+            eps_chunk = put_global(eps_chunk, mesh, _PS("ep"))
+            key_chunk = put_global(key_chunk, mesh, _PS("ep", None))
         o = sweep_chunk(eps_chunk, key_chunk)
         if not cfg.pareto_store_trajectories:
             # keep only costs + prescriptions; prescriptions go into ONE

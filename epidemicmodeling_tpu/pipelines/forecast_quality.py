@@ -50,10 +50,11 @@ def forecast_quality_assessment(batch, npi_mins, npi_maxes,
     uses the window up to T - num_forecast_days.
 
     mesh: optional ("dp", "ep") device mesh — the paper's headline
-    evaluation scales the same way the flagship does: regions shard over
-    dp for training, and the (region, start) lane grid (the product's
-    largest, R x S lanes) spreads over every mesh device; lanes via XLA
-    auto-SPMD, pallas via shard_map around the fused kernel.
+    evaluation scales the same way the flagship does: region inputs
+    replicate (parallel.mesh.shard_region_batch), and the (region, start)
+    lane grid (the product's largest, R x S lanes) spreads over every
+    mesh device; lanes via XLA auto-SPMD, pallas via shard_map around the
+    fused kernel.
     """
     import contextlib
     if mesh is not None:

@@ -118,10 +118,14 @@ def train_predict_prescribe(
     argument intent (dates, files, NPI config, epsilon sweep, weights).
 
     mesh: optional jax.sharding.Mesh with ("dp", "ep") axes
-    (parallel.make_mesh): regions shard over dp, the Pareto ensemble over
-    ep, and every stage runs SPMD across the mesh with no collectives in
-    the hot scans (the reference is serial; SURVEY.md §2.10 maps its loop
-    nest onto exactly these axes)."""
+    (parallel.make_mesh): region INPUTS are replicated (see
+    parallel.mesh.shard_region_batch for why — bit-parity of the NNLS
+    support selection, multi-host readability), the Pareto ensemble axis
+    is sharded over ep (its propagation partitions the big (E, R) lane
+    work; the pallas backend shard_maps the lane axis over the whole
+    mesh), and every stage runs SPMD with no collectives in the hot scans
+    (the reference is serial; SURVEY.md §2.10 maps its loop nest onto
+    exactly these axes)."""
     from ..utils.dates import num_days_between
     npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
     P = len(npi_columns)
@@ -172,8 +176,9 @@ def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
     checkpoint without retraining). Rows are re-aligned to the batch's
     region order by name; regions absent from the checkpoint raise.
 
-    mesh: optional ("dp", "ep") device mesh — shards the region axis over
-    dp and the epsilon sweep over ep (see train_predict_prescribe)."""
+    mesh: optional ("dp", "ep") device mesh — replicates the region
+    inputs (parallel.mesh.shard_region_batch) and shards the epsilon
+    sweep's lane work over ep (see train_predict_prescribe)."""
     import contextlib
     if mesh is not None:
         from ..parallel.mesh import shard_region_batch

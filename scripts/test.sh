@@ -11,5 +11,11 @@ if [ "$(nproc)" -ge 2 ]; then
   exec python -m pytest tests/ -q "$@"
 else
   echo "1-CPU host detected: using per-file fallback runner" >&2
+  if [ "$#" -gt 0 ]; then
+    # The per-file runner takes no pytest selection args; run the
+    # requested selection directly (single process, no xdist) instead of
+    # silently ignoring it and sweeping the whole suite.
+    exec python -m pytest -q -n0 "$@"
+  fi
   exec scripts/run_tests_by_file.sh
 fi

@@ -69,6 +69,37 @@ def test_full_pipeline_sharded_matches_single_device(backend):
                                rtol=1e-12, atol=1e-15)
 
 
+def test_vmap_backend_mesh_shards_eps_and_matches_single_device():
+    """The generic vmap core must also honor the mesh: its chunk loop
+    device_puts the epsilon ensemble with an 'ep' sharding (a regression
+    here silently drops multi-device parallelism while keeping results
+    correct, so parity alone wouldn't catch it — assert the output
+    sharding too)."""
+    from jax.sharding import PartitionSpec as P
+
+    bt, bf = _region_batches(4, 100, 80, 11, seed=5)
+    cfg = PipelineConfig(backend="vmap", pareto_chunk=4, num_monte_carlo=8,
+                         smoother_gain="solve")
+    kw = dict(npi_weights=np.ones(12),
+              epsilon_values=np.asarray(epsilon_grid(4)),
+              npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
+              num_regression_days=80, cfg=cfg)
+
+    single = run_pipeline(bt, bf, None, 80, **kw)
+    mesh = make_mesh(8)
+    sharded = run_pipeline(bt, bf, None, 80, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(sharded.pareto["J0"]),
+                               np.asarray(single.pareto["J0"]),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.pareto["u_prescribed"]),
+        np.asarray(single.pareto["u_prescribed"]))
+    # the sweep's lane outputs must actually live sharded on the mesh
+    j0_sh = sharded.pareto["J0"].sharding
+    assert getattr(j0_sh, "mesh", None) is not None and not j0_sh.is_fully_replicated, \
+        f"vmap sweep output not partitioned over the mesh: {j0_sh}"
+
+
 def test_sharded_pallas_stochastic_matches_single_device():
     """The deepest config stack — pallas kernels under shard_map, stochastic
     forecast noise from per-epsilon keys sharded over ep — must still equal
