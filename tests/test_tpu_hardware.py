@@ -94,6 +94,49 @@ def test_pallas_states_close_to_lanes_on_hardware():
     assert scaled_err(ssm, ref.s_smooth) < 1e-2
 
 
+def test_pipeline_epsilon_flip_on_hardware():
+    """End-to-end prescription physics on the real chip, f32: the product
+    pipeline path (data-driven Q/R scalings) must prescribe bang-bang
+    schedules whose NPI burden falls and case cost rises as epsilon
+    moves from ~0 (human cost dominates) to ~1 (NPI cost dominates).
+
+    This is the f32-SAFE surface — the raw testPrescribeXPRIZE01-constants
+    flow is float64-only (PARITY.md precision notes) and would prescribe
+    all-u_min here by its own numerics. A Mosaic/scaling regression that
+    degrades on-device costate activation fails this before it ships."""
+    from epidemicmodeling_tpu.data import synthetic_oxford_frame
+    from epidemicmodeling_tpu.data.preprocess import (
+        preprocess_region, build_region_batch, NPI_MAXES_DEFAULT)
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.train_predict_prescribe import \
+        run_pipeline
+
+    _, _, truth = synthetic_oxford_frame(n_regions=4, n_days=220, seed=11)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc)[:180], None,
+                                      tr["u"][:180], tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names)
+    bf = build_region_batch(sers, names, horizon=39)
+    eps = np.array([1e-9, 1e-4, 1e-2, 0.5, 0.999])
+    cfg = PipelineConfig(backend="pallas", pareto_chunk=5,
+                         num_monte_carlo=16, smoother_gain="solve")
+    res = run_pipeline(bt, bf, None, 180, np.ones(12), eps, np.zeros(12),
+                       NPI_MAXES_DEFAULT, 180, cfg)
+    u = np.asarray(res.pareto["u_prescribed"])        # (E, R, H, P)
+    mx = np.asarray(NPI_MAXES_DEFAULT)
+    assert np.all((np.abs(u) < 1e-6) | (np.abs(u - mx) < 1e-6)), \
+        "prescriptions are not bang-bang on hardware"
+    mean_u = u.mean(axis=(1, 2, 3))
+    J0 = np.asarray(res.pareto["J0"]).mean(axis=1)
+    assert mean_u[0] > mean_u[-1], (
+        f"epsilon extremes do not flip the NPIs: {mean_u}")
+    assert J0[0] < J0[-1], (
+        f"case cost does not rise as control turns off: {J0}")
+
+
 def test_tiled_stencil_compiles_and_matches_on_hardware():
     """The row-tiled halo stencil must lower through Mosaic (the suite only
     exercises it in interpret mode) and match the XLA stencil on-chip."""
