@@ -23,6 +23,9 @@ from ..utils.math import clip_lo_hi
 
 
 class ShootingResult(NamedTuple):
+    """Forward Hamiltonian-shooting trajectories: states, costates, the
+    bang-bang schedule and cost densities (testSIModelOptimalControl01.m:
+    62-98)."""
     s: jnp.ndarray
     i: jnp.ndarray
     alpha: jnp.ndarray

@@ -27,6 +27,8 @@ import optax
 
 
 class SVRModel(NamedTuple):
+    """Fitted epsilon-SVR (the fitrsvm linear/gaussian usage of
+    test03ExpfitVsIPRegression.m:198-246); pass to ``svr_predict``."""
     w: jnp.ndarray                 # weights (D,) — dual coefs for rbf-exact
     b: jnp.ndarray
     kernel: str
@@ -115,4 +117,5 @@ def svr_fit(X, y, kernel: str = "linear", C: float = 1.0,
 
 
 def svr_predict(model: SVRModel, X):
+    """Predict targets for rows of ``X`` with a fitted ``SVRModel``."""
     return _features(jnp.asarray(X), model) @ model.w + model.b

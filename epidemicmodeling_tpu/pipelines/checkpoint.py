@@ -17,6 +17,9 @@ from .core import TrainedRegionParams
 
 
 def save_trained_params(path, trained: TrainedRegionParams) -> None:
+    """Save per-region trained coefficients to ``path`` (.npz appended if
+    missing) — the rebuild of the reference's TrainedModelParams cell table
+    persisted via .mat (TrainPredictPrescribeNPI.m:910-913)."""
     path = str(path)
     if not path.endswith(".npz"):
         path = path + ".npz"
@@ -32,6 +35,8 @@ def save_trained_params(path, trained: TrainedRegionParams) -> None:
 
 
 def load_trained_params(path) -> TrainedRegionParams:
+    """Load a ``save_trained_params`` .npz checkpoint (the
+    testPrescribeXPRIZE01.m:62 flow: prescribe without retraining)."""
     path = str(path)
     if not path.endswith(".npz"):
         path = path + ".npz"
@@ -63,6 +68,7 @@ def save_trained_params_orbax(directory, trained: TrainedRegionParams):
 
 
 def load_trained_params_orbax(directory) -> TrainedRegionParams:
+    """Restore a ``save_trained_params_orbax`` checkpoint directory."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()

@@ -53,6 +53,9 @@ class TrainedRegionParams(NamedTuple):
 
 
 class TrainOutputs(NamedTuple):
+    """Two-round training results: coefficients, per-region init, smoothed
+    states and the rho whiteness monitor for both EKF rounds
+    (TrainPredictPrescribeNPI.m:199-354)."""
     trained: TrainedRegionParams
     init: RegionInit
     s_smooth_round1: jnp.ndarray   # (R, T, 3)
@@ -337,6 +340,9 @@ def train_regions(batch, npi_mins, npi_maxes, num_regression_days,
 
 
 class ScenarioResult(NamedTuple):
+    """One forecast scenario's trajectories, applied schedule and (J0, J1)
+    costs (the actual/fixed/zero/max scenarios of
+    TrainPredictPrescribeNPI.m:367-412)."""
     s: jnp.ndarray        # (R, T_full) susceptible trajectory
     i: jnp.ndarray        # (R, T_full)
     alpha: jnp.ndarray    # (R, T_full)

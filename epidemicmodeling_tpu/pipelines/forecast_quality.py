@@ -30,6 +30,8 @@ from .core import train_regions, _base_params, _pallas_mesh
 
 
 class BacktestResult(NamedTuple):
+    """Look-ahead backtest error curves (ForecastQualityAssessment.m:374-429);
+    aggregates mask non-finite per-day entries (zero-truth days)."""
     est_error_plus: jnp.ndarray     # (R, S, H) % error of filtered estimate
     est_error_smooth: jnp.ndarray   # (R, S, H) % error of smoothed estimate
     mean_error_smooth: jnp.ndarray  # (R, H) mean over valid start days

@@ -23,6 +23,8 @@ from .core import train_regions, TrainOutputs
 
 
 class MortalityEstimates(NamedTuple):
+    """Per-region mortality and beta estimates from the deaths series
+    (TrainNPIPrescriptor.m:264-273)."""
     mortality_rate: np.ndarray          # (R, T)
     med_mortality: np.ndarray           # (R,)
     med_recent_mortality: np.ndarray    # (R,)

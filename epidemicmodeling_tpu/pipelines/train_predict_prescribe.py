@@ -24,6 +24,8 @@ from .core import (train_regions, forecast_scenarios, pareto_prescribe,
 
 
 class TrainPredictPrescribeResult(NamedTuple):
+    """Everything the flagship pipeline produces for a region batch — the
+    rebuild of TrainPredictPrescribeNPI.m's saved results + figures inputs."""
     trained: TrainedRegionParams
     scenarios: dict                # fixed/zero/max(/actual) ScenarioResult
     pareto: dict                   # J0/J1 (E,R), trajectories, prescriptions

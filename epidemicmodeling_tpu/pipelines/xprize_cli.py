@@ -27,6 +27,8 @@ import numpy as np
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
+    """CLI surface mirroring testPrescribeXPRIZE02.m's configuration block
+    (dates, NPI maxima, epsilon grid, cost weights, output CSVs)."""
     ap = argparse.ArgumentParser(
         prog="epidemicmodeling_tpu.pipelines.xprize_cli",
         description="Train-predict-prescribe NPI pipeline (XPRIZE driver)")
@@ -95,6 +97,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    """Run the full train-predict-prescribe driver; writes the XPRIZE
+    prescriptions/predictions CSVs and returns a process exit code."""
     args = build_arg_parser().parse_args(argv)
 
     import jax

@@ -33,6 +33,8 @@ from .diffusion import diffusion_step_4, diffusion_step_8
 
 @dataclasses.dataclass(frozen=True)
 class PopulationSimConfig:
+    """Agent-motion simulation constants; defaults mirror
+    testPopulation2DMotionDynamics.m:16-60."""
     n_subjects: int = 150
     dt: float = 0.1
     dl: float = 0.3
@@ -57,6 +59,7 @@ class PopulationSimConfig:
 
 
 class PopulationSimResult(NamedTuple):
+    """Simulated kinematic histories plus the exhaled-particle field."""
     p: jnp.ndarray      # (T, N, 2) positions
     v: jnp.ndarray      # (T, N, 2) velocities
     a: jnp.ndarray      # (T, N, 2) accelerations

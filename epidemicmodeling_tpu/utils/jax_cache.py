@@ -13,6 +13,9 @@ import os
 
 
 def machine_cache_dir(base_dir: str) -> str:
+    """Machine-fingerprint-keyed XLA cache dir: stale cross-host XLA:CPU
+    AOT entries segfault on load after container host migrations, so each
+    host class gets its own directory."""
     try:
         with open("/proc/cpuinfo") as f:
             sig = "".join(line for line in f
@@ -25,6 +28,8 @@ def machine_cache_dir(base_dir: str) -> str:
 
 
 def enable_persistent_cache(jax, base_dir: str) -> str:
+    """Point JAX's persistent compilation cache at ``machine_cache_dir``;
+    returns the path. Makes post-first-process cold starts compile-free."""
     path = machine_cache_dir(base_dir)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
