@@ -79,6 +79,12 @@ def generic_ekf(u, x, handles, params, s_init, Ps_init, s_final, Ps_final,
             gs = np.zeros(n); Gsp = np.zeros((n, n))
             gv = np.zeros(n); Gvp = np.zeros((n, n))
         else:
+            # Deliberate transcription deviation: GEKF.m:109/:149 pass the
+            # WHOLE (n,n,T) R / Q stacks to the Hessian handles; we pass
+            # the k-th slice (the only sane reading). Immaterial: every
+            # reference handle reachable through GEKF returns zeros
+            # (MatlabCodeGenerator/{Obs,State}HessianTerms.m), and the one
+            # real 2nd-order filter (Rt_ExpFitEKF.m) is self-contained.
             gs, Gsp, gv, Gvp = handles["ObsHessianTerms"](
                 u[:, k], sk_minus, Pk_minus, v_bar, R[:, :, k], params, k)
 
