@@ -40,7 +40,17 @@ def new_case_ekf_optimal_npi(u, x, params, s_init, Ps_init, s_final=None,
     covariance symmetrization, mrdivide smoother gain, R adapted on every
     valid step). This is also the deployment-codegen target of the
     reference's MatlabCodeGenerator (SURVEY.md §2.9); see deploy/ for the
-    native C++ twin."""
+    native C++ twin.
+
+    Known immaterial deviation: for a PARTIALLY-NaN Ps_final the MATLAB
+    writes the terminal smoothed covariance as a rectangular cross-product
+    (`P_SMOOTH(row, col, T) = Ps_final(row, col)`,
+    NewCaseEKFEstimatorWithOptimalNPI.m:128-131 — ind2sub vectors index a
+    submatrix), which would splat NaN entries into P_SMOOTH; we keep the
+    generic element-wise semantics (GEKF.m:198-202). Every ACTIVE call
+    site in the reference passes Ps_final = nan(6) (PrescribeNPI.m:152,
+    testSIModelOptimalControl04EKS.m:167 — the partial patterns are
+    commented out), where both readings are identical no-ops."""
     return ekf_smoother(
         si_alpha_costate_ekf_system(obs_type), u, x, params, s_init, Ps_init,
         s_final, Ps_final, w_bar, v_bar, Q, R, beta=beta,
