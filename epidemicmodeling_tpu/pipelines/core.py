@@ -847,6 +847,21 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     else:
         keys = jax.random.split(key, E_pad)
 
+    # shard the epsilon ensemble axis over the 'ep' mesh axis so the
+    # (E, R) lane grid occupies the full 2-D mesh (put_global handles
+    # meshes spanning processes — the multi-host case); identity when no
+    # mesh is given. Shared by both the one-executable lanes/pallas sweep
+    # and the vmap chunk loop below.
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as _PS
+        from ..parallel.mesh import put_global
+
+        def shard_ep(a, *spec):
+            return put_global(a, mesh, _PS(*spec))
+    else:
+        def shard_ep(a, *spec):
+            return a
+
     if cfg.backend in ("lanes", "pallas"):
         if cfg.backend == "pallas" and (
                 cfg.observation_type not in ("NEWCASES", "TOTALCASES")
@@ -857,17 +872,10 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
         # the WHOLE sweep is one executable (lax.scan over chunks inside
         # _sweep_all_lanes_impl): no per-chunk host dispatches, no donated
         # write-back buffer — outputs come back stacked (n_chunks, Ec, ...)
-        eps_all = jnp.asarray(eps_padded.reshape(n_chunks, chunk), fdtype)
-        keys_all = keys.reshape(n_chunks, chunk, 2)
-        if mesh is not None:
-            # shard the epsilon ensemble axis over the 'ep' mesh axis so
-            # the (E, R) lane grid occupies the full 2-D mesh (put_global
-            # handles meshes spanning processes — the multi-host case)
-            from jax.sharding import PartitionSpec as _PS
-            from ..parallel.mesh import put_global
-            eps_all = put_global(eps_all, mesh, _PS(None, "ep"))
-            keys_all = put_global(np.asarray(keys_all), mesh,
-                                  _PS(None, "ep", None))
+        eps_all = shard_ep(jnp.asarray(eps_padded.reshape(n_chunks, chunk),
+                                       fdtype), None, "ep")
+        keys_all = shard_ep(keys.reshape(n_chunks, chunk, 2),
+                            None, "ep", None)
         outs = _sweep_all_lanes_impl(
             eps_all, keys_all, u_in, obs, R_v, params, QQ, PPs, ss_init,
             s_final, Ps_final, s_hist_f, w_rp, s_nstd, i_nstd,
@@ -890,16 +898,9 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     outs = []
     u_buf = None
     for c0 in range(0, E_pad, chunk):
-        eps_chunk = jnp.asarray(eps_padded[c0:c0 + chunk], fdtype)
-        key_chunk = keys[c0:c0 + chunk]
-        if mesh is not None:
-            # shard the epsilon ensemble axis over the 'ep' mesh axis so
-            # the (E, R) lane grid occupies the full 2-D mesh (the
-            # lanes/pallas path does the same to its stacked chunks above)
-            from jax.sharding import PartitionSpec as _PS
-            from ..parallel.mesh import put_global
-            eps_chunk = put_global(eps_chunk, mesh, _PS("ep"))
-            key_chunk = put_global(key_chunk, mesh, _PS("ep", None))
+        eps_chunk = shard_ep(jnp.asarray(eps_padded[c0:c0 + chunk], fdtype),
+                             "ep")
+        key_chunk = shard_ep(keys[c0:c0 + chunk], "ep", None)
         o = sweep_chunk(eps_chunk, key_chunk)
         if not cfg.pareto_store_trajectories:
             # keep only costs + prescriptions; prescriptions go into ONE

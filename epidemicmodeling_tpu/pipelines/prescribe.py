@@ -45,7 +45,7 @@ def new_case_ekf_optimal_npi(u, x, params, s_init, Ps_init, s_final=None,
     Known immaterial deviation: for a PARTIALLY-NaN Ps_final the MATLAB
     writes the terminal smoothed covariance as a rectangular cross-product
     (`P_SMOOTH(row, col, T) = Ps_final(row, col)`,
-    NewCaseEKFEstimatorWithOptimalNPI.m:128-131 — ind2sub vectors index a
+    NewCaseEKFEstimatorWithOptimalNPI.m:125-127 — ind2sub vectors index a
     submatrix), which would splat NaN entries into P_SMOOTH; we keep the
     generic element-wise semantics (GEKF.m:198-202). Every ACTIVE call
     site in the reference passes Ps_final = nan(6) (PrescribeNPI.m:152,

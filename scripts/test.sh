@@ -7,15 +7,40 @@
 # runner instead. This wrapper auto-detects.
 set -u
 cd "$(dirname "$0")/.."
+
+# Does the invocation include an explicit test path / node id (a non-flag
+# arg)? Flags alone (-x, --lf, ...) still mean "the whole suite".
+has_selection=0
+for a in "$@"; do
+  case "$a" in
+    -*) ;;
+    *) has_selection=1 ;;
+  esac
+done
+
 if [ "$(nproc)" -ge 2 ]; then
+  if [ "$has_selection" = 1 ]; then
+    # Don't union the hardcoded tests/ with the selection (that would
+    # sweep the whole suite); pyproject's testpaths covers the bare case.
+    exec python -m pytest -q "$@"
+  fi
   exec python -m pytest tests/ -q "$@"
 else
   echo "1-CPU host detected: using per-file fallback runner" >&2
-  if [ "$#" -gt 0 ]; then
+  if [ "$has_selection" = 1 ]; then
     # The per-file runner takes no pytest selection args; run the
     # requested selection directly (single process, no xdist) instead of
     # silently ignoring it and sweeping the whole suite.
     exec python -m pytest -q -n0 "$@"
+  fi
+  if [ "$#" -gt 0 ]; then
+    # Flag-only args would run the ENTIRE suite in one unbounded -n0
+    # process — the exact segfault/wedge mode the per-file runner exists
+    # to avoid. Refuse instead of wedging.
+    echo "error: flag-only pytest args are unsupported on 1-CPU hosts" >&2
+    echo "       (whole-suite single-process runs segfault here);" >&2
+    echo "       name a test file/node id, or use scripts/run_tests_by_file.sh" >&2
+    exit 2
   fi
   exec scripts/run_tests_by_file.sh
 fi
