@@ -56,6 +56,11 @@ class PopulationSimConfig:
     n_marked: int = 2              # infected agents exhaling particles
     exhale_amount: float = 1.0
     diffusion_D: float = 1e-2
+    # "xla": one (N, N+O, 2) broadcast — fine at reference scale (N=150).
+    # "pallas": tiled VMEM kernel (ops/pallas/pairwise.py), O(N) HBM per
+    # step — required beyond N ~ 2e4 where the XLA intermediate (GBs)
+    # exhausts a 16 GB chip; measured N=1e5 at ~0.5 s/step on one v5e.
+    force_backend: str = "xla"
 
 
 class PopulationSimResult(NamedTuple):
@@ -197,8 +202,12 @@ def population_motion_sim(cfg: PopulationSimConfig, n_steps: int, key,
             kj, (N, 2), dtype), cfg.j_max)
 
         # social forces evaluated at the PRE-update positions (:141,156)
-        a_next = clip2(a_next + _social_forces(p, obstacle_xy, cfg),
-                       cfg.a_max)
+        if cfg.force_backend == "pallas":
+            from ..ops.pallas.pairwise import social_forces_pallas
+            forces = social_forces_pallas(p, obstacle_xy, cfg)
+        else:
+            forces = _social_forces(p, obstacle_xy, cfg)
+        a_next = clip2(a_next + forces.astype(dtype), cfg.a_max)
 
         # exhale at pre-update marked positions, then diffuse with both
         # neighborhood updates applied back-to-back (:176-189)

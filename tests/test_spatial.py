@@ -132,6 +132,48 @@ def test_social_forces_pull_to_optimal_distance():
     np.testing.assert_allclose(F, 0.0, atol=1e-12)
 
 
+def test_pallas_pairwise_matches_xla():
+    """The tiled VMEM pairwise kernel (ops/pallas/pairwise.py) must match
+    the XLA broadcast path at f32 — agents + obstacles, with and without
+    obstacles, including the zero-self-interaction diagonal and the
+    cutoff gating."""
+    from epidemicmodeling_tpu.spatial.agents import (
+        _social_forces, default_environment)
+    from epidemicmodeling_tpu.ops.pallas.pairwise import social_forces_pallas
+
+    cfg = PopulationSimConfig(n_subjects=150)
+    _, obstacle_xy = default_environment(cfg)
+    rng = np.random.default_rng(3)
+    pos = rng.uniform([cfg.x_min + 1, cfg.y_min + 1],
+                      [cfg.x_max - 1, cfg.y_max - 1], (cfg.n_subjects, 2))
+    ref = np.asarray(_social_forces(jnp.asarray(pos, jnp.float32),
+                                    jnp.asarray(obstacle_xy, jnp.float32),
+                                    cfg))
+    got = np.asarray(social_forces_pallas(pos, obstacle_xy, cfg))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=1e-5 * scale)
+
+    # no obstacles at all (O = 0 concat/pad edge)
+    ref0 = np.asarray(_social_forces(jnp.asarray(pos, jnp.float32),
+                                     jnp.zeros((0, 2), jnp.float32), cfg))
+    got0 = np.asarray(social_forces_pallas(pos, np.zeros((0, 2)), cfg))
+    np.testing.assert_allclose(got0, ref0, atol=1e-5 * np.abs(ref0).max())
+
+
+def test_population_sim_pallas_force_backend():
+    """force_backend='pallas' runs the full coupled sim (kernel inside the
+    lax.scan) with the same physical invariants as the XLA path."""
+    cfg = PopulationSimConfig(n_subjects=40, force_backend="pallas")
+    res = population_motion_sim(cfg, n_steps=20, key=jax.random.PRNGKey(0))
+    p = np.asarray(res.p)
+    assert p.shape == (20, 40, 2)
+    assert (p[..., 0] >= cfg.x_min - 1e-9).all()
+    assert (p[..., 0] <= cfg.x_max + 1e-9).all()
+    assert (np.abs(np.asarray(res.v)) <= cfg.v_max + 1e-9).all()
+    assert (np.abs(np.asarray(res.a)) <= cfg.a_max + 1e-9).all()
+    assert float(res.C.sum()) > 0
+
+
 def test_agents_respect_walls():
     """Agents must not end up inside obstacle cells."""
     cfg = PopulationSimConfig(n_subjects=30)

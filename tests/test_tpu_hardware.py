@@ -137,6 +137,27 @@ def test_pipeline_epsilon_flip_on_hardware():
         f"case cost does not rise as control turns off: {J0}")
 
 
+def test_pairwise_kernel_matches_xla_on_hardware():
+    """The tiled pairwise-force kernel must lower through Mosaic and match
+    the XLA broadcast path on-chip at a scale the XLA path still fits
+    (beyond N ~ 2e4 the (N, N+O, 2) intermediate OOMs 16 GB — the kernel's
+    reason to exist; measured N=1e5 at ~0.5 s/step on this chip class)."""
+    from epidemicmodeling_tpu.spatial.agents import (
+        PopulationSimConfig, _social_forces, default_environment)
+    from epidemicmodeling_tpu.ops.pallas.pairwise import social_forces_pallas
+
+    N = 4096
+    cfg = PopulationSimConfig(n_subjects=N)
+    _, obstacle_xy = default_environment(cfg)
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform([1, 1], [69, 49], (N, 2)), jnp.float32)
+    ref = np.asarray(_social_forces(pos, jnp.asarray(obstacle_xy,
+                                                     jnp.float32), cfg))
+    got = np.asarray(social_forces_pallas(pos, obstacle_xy, cfg,
+                                          interpret=False))
+    np.testing.assert_allclose(got, ref, atol=1e-4 * np.abs(ref).max())
+
+
 def test_tiled_stencil_compiles_and_matches_on_hardware():
     """The row-tiled halo stencil must lower through Mosaic (the suite only
     exercises it in interpret mode) and match the XLA stencil on-chip."""
