@@ -102,7 +102,8 @@ def social_forces_pallas(pos, obstacle_xy, cfg, interpret=None):
     """Drop-in for spatial/agents._social_forces: pos (N, 2),
     obstacle_xy (O, 2) -> forces (N, 2). f32 compute (TPU path)."""
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from . import should_interpret
+        interpret = should_interpret()
     N = pos.shape[0]
     O = obstacle_xy.shape[0]
     M = N + O

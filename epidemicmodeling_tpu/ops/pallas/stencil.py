@@ -115,7 +115,8 @@ def diffusion_step_pallas(C, ax, ay, axy=0.0, force_tiled=False):
     """One diffusion step via a Pallas kernel. C: (Lx, Ly). Grids whose
     f32 footprint exceeds the whole-grid VMEM cap stream through the
     row-tiled halo kernel instead."""
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    from . import should_interpret
+    interpret = should_interpret()
     nbytes = 4 * C.shape[0] * C.shape[1]
     if force_tiled or nbytes > _WHOLE_GRID_VMEM_CAP:
         return _diffusion_pallas_tiled(C, float(ax), float(ay), float(axy),

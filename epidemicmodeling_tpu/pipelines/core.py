@@ -229,7 +229,8 @@ def _run_ekf3_pallas(cfg, u, x, params, R_v, init, sf, Pf, mesh=None):
     from ..ops.ekf import EKFResult
     fdt = x.dtype
     bl = lambda a: jnp.moveaxis(jnp.asarray(a, fdt), 0, -1)
-    interp = jax.default_backend() not in ("tpu", "axon")
+    from ..ops.pallas import should_interpret
+    interp = should_interpret()
     x_bl = jnp.asarray(x, fdt)[..., 0].T
     Rv_bl = jnp.asarray(R_v, fdt).T
     ssm, sp, sm = ekf3_pallas_lanes(
@@ -602,7 +603,8 @@ def _sweep_chunk_lanes_body(eps_chunk, key_chunk, u_in, obs, R_v, params,
         padl = pad_lanes(pad)
         params_p = {k: padl(v) for k, v in params_bl.items()}
         scal, vecs = pack_params_for_kernel(params_p, padl(tile_lanes(QQ)))
-        interp = jax.default_backend() not in ("tpu", "axon")
+        from ..ops.pallas import should_interpret
+        interp = should_interpret()
         kernel_args = (
             padl(tile_lanes(u_in)), padl(tile_lanes(obs)),
             padl(tile_lanes(R_v)), scal, vecs,

@@ -111,7 +111,8 @@ def _forecast_quality_body(batch, npi_mins, npi_maxes, num_regression_days,
     # ground-truth absolute smoothed new cases (R, T)
     truth_cases = jnp.asarray(batch.new_cases_norm, fdtype) * pop[:, None]
 
-    interp = jax.default_backend() not in ("tpu", "axon")
+    from ..ops.pallas import should_interpret
+    interp = should_interpret()
     if cfg.backend in ("lanes", "pallas") and cfg.order == 1:
         # TPU fast path: every (region, start) pair is an independent lane
         # of the batch-last core — B = R*S filters in one scan instead of a

@@ -124,7 +124,8 @@ def main(argv=None) -> int:
         npi_weights = np.ones(P)
 
     backend = args.backend
-    if backend == "pallas" and jax.default_backend() not in ("tpu", "axon"):
+    from epidemicmodeling_tpu.ops.pallas import should_interpret
+    if backend == "pallas" and should_interpret():
         print("note: pallas backend requested off-TPU; using lanes",
               file=sys.stderr)
         backend = "lanes"

@@ -149,6 +149,11 @@ def population_motion_sim(cfg: PopulationSimConfig, n_steps: int, key,
 
     Returns PopulationSimResult with (T = n_steps, ...) trajectories.
     """
+    if cfg.force_backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"force_backend={cfg.force_backend!r} — expected 'xla' or "
+            "'pallas' (a typo would silently fall back to the XLA "
+            "broadcast, which OOMs beyond N ~ 2e4)")
     if environment is None:
         plan, obstacle_xy = default_environment(cfg)
     else:

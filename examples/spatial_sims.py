@@ -41,6 +41,9 @@ def main(video=None):
     print(f"walking sources: total exhaled mass in field {float(C.sum()):.1f}"
           f" after 250 steps")
 
+    # at the reference's N=150 the XLA broadcast is fine; pass
+    # force_backend="pallas" to scale to N ~ 1e5 (tiled VMEM pairwise
+    # kernel, O(N) HBM per step — ops/pallas/pairwise.py)
     cfg = PopulationSimConfig(n_subjects=150)
     res = population_motion_sim(cfg, n_steps=500, key=jax.random.PRNGKey(1))
     speed = np.linalg.norm(np.asarray(res.v[-1]), axis=1)
