@@ -325,6 +325,27 @@ def test_load_trained_params_mat_real_reference_checkpoint():
     assert "Afghanistan " in t.names
 
 
+@pytest.mark.parametrize("name,n_regions", [
+    ("lasso", 235), ("train_and_prescribe", 1)])
+def test_load_trained_params_mat_other_reference_checkpoints(name, n_regions):
+    """The reference ships THREE trained-params .mat files; the LASSO one
+    (coefficients may be any sign) and the single-region
+    train_and_prescribe one must import too — a user migrating MATLAB
+    training output should not depend on which solver produced it."""
+    import os
+    path = ("/root/reference/xprize-sample-data/"
+            f"prescription_trained_params_{name}.mat")
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not mounted")
+    from epidemicmodeling_tpu.pipelines import load_trained_params_mat
+    t = load_trained_params_mat(path)
+    assert len(t.names) == n_regions
+    assert t.a2.shape == (n_regions, 12)
+    assert np.isfinite(np.asarray(t.a2)).all()
+    assert np.isfinite(np.asarray(t.b2)).all()
+    assert (np.asarray(t.population) > 0).all()
+
+
 def test_mat_checkpoint_roundtrip(tmp_path):
     """save_trained_params_mat -> load_trained_params_mat is lossless, and
     the real reference checkpoint survives a round trip."""
