@@ -38,6 +38,35 @@ def test_real_cost_files_schema():
     assert (w == 1.0).all()
 
 
+def test_output_schemas_match_reference_examples(tmp_path):
+    """Our writers must emit EXACTLY the column sets of the reference's
+    shipped example output CSVs (the XPRIZE submission format a judge
+    harness parses), and the per-geo uniform_random_costs.csv must load
+    as per-region weights."""
+    import numpy as np
+    from epidemicmodeling_tpu.data.xprize_io import (
+        write_predictions_csv, write_prescriptions_csv)
+    from epidemicmodeling_tpu.data.oxford import load_npi_costs
+
+    ex_presc = pd.read_csv(
+        f"{REF}/2020-08-01_2020-08-04_prescriptions_example.csv")
+    ex_pred = pd.read_csv(
+        f"{REF}/2020-08-01_2020-08-04_predictions_example.csv")
+
+    geos = ["Aruba ", "Afghanistan "]
+    p1 = write_predictions_csv(tmp_path / "pred.csv", geos, "2020-08-01",
+                               np.ones((2, 4)))
+    p2 = write_prescriptions_csv(tmp_path / "presc.csv", geos, "2020-08-01",
+                                 np.zeros((3, 2, 4, 12)))
+    assert list(pd.read_csv(p1).columns) == list(ex_pred.columns)
+    assert list(pd.read_csv(p2).columns) == list(ex_presc.columns)
+
+    w = load_npi_costs(f"{REF}/uniform_random_costs.csv", geos)
+    assert w.shape == (2, 12) and np.isfinite(w).all() and (w >= 0).all()
+    # per-geo file: different regions carry different weights
+    assert not np.allclose(w[0], w[1])
+
+
 def test_pipeline_runs_on_real_geo_population_files(tmp_path):
     """Full pipeline: synthetic case data for three REAL region ids, joined
     against the reference's actual populations/geo files."""
