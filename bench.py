@@ -293,6 +293,41 @@ def main():
                 f"{k}={v:.1f}s" for k, v in stages.items()))
         return front, stages
 
+    def run_once_async(cfg):
+        """The USER wall: the product API (run_pipeline) never blocks
+        between stages — JAX chains them asynchronously on device — so the
+        honest end-to-end time blocks exactly once, on a scalar that
+        DEPENDS on every stage output (through the axon tunnel a bare
+        block_until_ready can return before device work completes; a
+        dependent host fetch cannot lie). The per-stage run_once above
+        serializes five tunnel round trips purely for diagnostics and
+        reads ~0.1 s slower at this scale."""
+        import jax.numpy as jnp
+        t0 = time.time()
+        train_out = train_regions(batch_train, np.zeros(12),
+                                  NPI_MAXES_DEFAULT, T_HIST, cfg)
+        scen, s_hist = forecast_scenarios(
+            batch_full, train_out.trained, train_out.init, np.ones(12),
+            np.zeros(12), NPI_MAXES_DEFAULT, T_HIST, cfg)
+        par = pareto_prescribe(
+            batch_full, train_out.trained, train_out.init, s_hist, eps,
+            np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT, T_HIST, cfg,
+            key=jax.random.PRNGKey(0))
+        mc = monte_carlo_baseline(
+            batch_full, train_out.trained, train_out.init, s_hist,
+            np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT, T_HIST, cfg,
+            key=jax.random.PRNGKey(0))
+        front = pareto_front_mask_batched(par["J0"], par["J1"])
+        sync = (front.sum().astype(jnp.float32)
+                + mc["J0"].sum() + mc["J1"].sum()
+                + scen["fixed"].J0.sum() + scen["zero"].s.sum()
+                + scen["max"].i.sum()
+                + par["u_prescribed"].sum()
+                + (0.0 if par["s"] is None else par["s"].sum())
+                + train_out.trained.a1.sum() + s_hist.sum())
+        float(sync)   # the one host fetch
+        return time.time() - t0
+
     t1 = time.time()
     try:
         # 30 min is ~30x a healthy cold compile: if the axon-side compile
@@ -326,18 +361,18 @@ def main():
     log(f"cold run (incl. compile): {cold:.1f}s")
 
     # steady-state: best of 3 warm runs — the shared-TPU queue occasionally
-    # doubles a single run's wall-clock, which would misreport a regression
-    warms, stage_list = [], []
-    for w_i in range(3):
-        t2 = time.time()
-        front, stages = run_once(cfg, verbose=(w_i == 0))
-        warms.append(time.time() - t2)
-        stage_list.append(stages)
-    warm = min(warms)
-    best_stages = stage_list[int(np.argmin(warms))]
+    # doubles a single run's wall-clock, which would misreport a regression.
+    # One per-stage-blocked run first for the diagnostic stage times, then
+    # the HEADLINE is the async user wall (see run_once_async).
+    t2 = time.time()
+    front, best_stages = run_once(cfg, verbose=True)
+    staged_wall = time.time() - t2
     pareto_s = best_stages["pareto"]
-    log("warm runs: " + ", ".join(f"{w:.2f}s" for w in warms)
-        + f" -> best {warm:.2f}s")
+    warms = [run_once_async(cfg) for _ in range(3)]
+    warm = min(warms)
+    log("warm async runs: " + ", ".join(f"{w:.2f}s" for w in warms)
+        + f" -> best {warm:.2f}s (stage-blocked diagnostic run: "
+        f"{staged_wall:.2f}s)")
 
     lanes = R_REGIONS * E_PARETO
     log(f"EKS+control lanes: {lanes} ({lanes*(T_HIST+HORIZON):,} filter-days)"
@@ -485,6 +520,13 @@ def main():
         "value": round(warm, 3),
         "unit": "s",
         "vs_baseline": round(baseline_target_s / warm, 3),
+        # schema note (r4): "value" is the ASYNC user wall — one host fetch
+        # depending on every stage output, matching how run_pipeline
+        # actually executes. Artifacts before this change timed a run with
+        # five per-stage block_until_ready round trips; that diagnostic
+        # number continues under "staged_wall_s" for longitudinal
+        # comparison (~0.1 s slower at the 235x250 scale).
+        "staged_wall_s": round(staged_wall, 3),
         # provenance: reference-scale workload on synthetic data generated
         # in the OxCGRT schema (data/synthetic.py); scale matches
         # testScripts/testPrescribeXPRIZE02.m exactly
@@ -507,7 +549,7 @@ def main():
             "achieved_gflops": round(
                 2 * R_REGIONS * T_HIST
                 * FLOPS_PER_FILTER_DAY_3STATE / 1e9
-                / stage_list[int(np.argmin(warms))]["train"], 2),
+                / best_stages["train"], 2),
         },
         # roofline: analytic FLOP/byte costs x achieved rate, against
         # MEASURED single-chip anchors (not quoted specs); the workload is
