@@ -9,6 +9,8 @@ from .core import (
 )
 from .train_predict_prescribe import train_predict_prescribe
 from . import forecast_quality, prescribe
+from .forecast_quality import forecast_quality_assessment
+from .prescribe import prescribe_from_checkpoint
 from .checkpoint import (save_trained_params, load_trained_params,
                          save_trained_params_orbax, load_trained_params_orbax,
                          load_trained_params_mat,
@@ -29,4 +31,6 @@ __all__ = [
     "load_trained_params_orbax",
     "load_trained_params_mat",
     "save_trained_params_mat",
+    "forecast_quality_assessment",
+    "prescribe_from_checkpoint",
 ]
