@@ -167,7 +167,8 @@ def measure_hw_kernel_parity(jax):
     params = dict(params)
     params["epsilon"] = jnp.asarray(eps, jnp.float32)
 
-    interp = jax.default_backend() not in ("tpu", "axon")
+    from epidemicmodeling_tpu.ops.pallas import should_interpret
+    interp = should_interpret()
     ref = ekf_smoother_bl(
         si_alpha_costate_ekf_system_bl(), u, x, params, s_init, Ps_init,
         s_final, Ps_final, Q=Q, R=Rv, gamma_discount=0.995)
@@ -361,18 +362,26 @@ def main():
     log(f"cold run (incl. compile): {cold:.1f}s")
 
     # steady-state: best of 3 warm runs — the shared-TPU queue occasionally
-    # doubles a single run's wall-clock, which would misreport a regression.
-    # One per-stage-blocked run first for the diagnostic stage times, then
-    # the HEADLINE is the async user wall (see run_once_async).
-    t2 = time.time()
-    front, best_stages = run_once(cfg, verbose=True)
-    staged_wall = time.time() - t2
+    # doubles a single run's wall-clock, which would misreport a regression
+    # (this applies to the staged diagnostic runs too: every derived stage
+    # metric below uses the best-of-3 run's stage times). The HEADLINE is
+    # the async user wall (see run_once_async).
+    staged_walls, stage_list = [], []
+    front = None
+    for w_i in range(3):
+        t2 = time.time()
+        front, stages = run_once(cfg, verbose=(w_i == 0))
+        staged_walls.append(time.time() - t2)
+        stage_list.append(stages)
+    staged_wall = min(staged_walls)
+    best_stages = stage_list[int(np.argmin(staged_walls))]
     pareto_s = best_stages["pareto"]
     warms = [run_once_async(cfg) for _ in range(3)]
     warm = min(warms)
     log("warm async runs: " + ", ".join(f"{w:.2f}s" for w in warms)
-        + f" -> best {warm:.2f}s (stage-blocked diagnostic run: "
-        f"{staged_wall:.2f}s)")
+        + f" -> best {warm:.2f}s (stage-blocked diagnostic runs: "
+        + ", ".join(f"{w:.2f}s" for w in staged_walls)
+        + f" -> best {staged_wall:.2f}s)")
 
     lanes = R_REGIONS * E_PARETO
     log(f"EKS+control lanes: {lanes} ({lanes*(T_HIST+HORIZON):,} filter-days)"
@@ -526,6 +535,7 @@ def main():
         # five per-stage block_until_ready round trips; that diagnostic
         # number continues under "staged_wall_s" for longitudinal
         # comparison (~0.1 s slower at the 235x250 scale).
+        "value_semantics": "async_user_wall_best_of_3",
         "staged_wall_s": round(staged_wall, 3),
         # provenance: reference-scale workload on synthetic data generated
         # in the OxCGRT schema (data/synthetic.py); scale matches

@@ -7,7 +7,8 @@ from .core import (
     monte_carlo_baseline,
     scenario_from_schedule,
 )
-from .train_predict_prescribe import train_predict_prescribe
+from .train_predict_prescribe import (train_predict_prescribe,
+                                      build_batches_from_frames)
 from . import forecast_quality, prescribe
 from .forecast_quality import forecast_quality_assessment
 from .prescribe import prescribe_from_checkpoint
@@ -33,4 +34,5 @@ __all__ = [
     "save_trained_params_mat",
     "forecast_quality_assessment",
     "prescribe_from_checkpoint",
+    "build_batches_from_frames",
 ]

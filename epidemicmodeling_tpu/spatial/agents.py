@@ -62,6 +62,13 @@ class PopulationSimConfig:
     # exhausts a 16 GB chip; measured N=1e5 at ~0.5 s/step on one v5e.
     force_backend: str = "xla"
 
+    def __post_init__(self):
+        if self.force_backend not in ("xla", "pallas"):
+            raise ValueError(
+                f"force_backend={self.force_backend!r} — expected 'xla' or "
+                "'pallas' (a typo would silently fall back to the XLA "
+                "broadcast, which OOMs beyond N ~ 2e4)")
+
 
 class PopulationSimResult(NamedTuple):
     """Simulated kinematic histories plus the exhaled-particle field."""
@@ -149,11 +156,6 @@ def population_motion_sim(cfg: PopulationSimConfig, n_steps: int, key,
 
     Returns PopulationSimResult with (T = n_steps, ...) trajectories.
     """
-    if cfg.force_backend not in ("xla", "pallas"):
-        raise ValueError(
-            f"force_backend={cfg.force_backend!r} — expected 'xla' or "
-            "'pallas' (a typo would silently fall back to the XLA "
-            "broadcast, which OOMs beyond N ~ 2e4)")
     if environment is None:
         plan, obstacle_xy = default_environment(cfg)
     else:

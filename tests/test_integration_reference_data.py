@@ -43,7 +43,6 @@ def test_output_schemas_match_reference_examples(tmp_path):
     shipped example output CSVs (the XPRIZE submission format a judge
     harness parses), and the per-geo uniform_random_costs.csv must load
     as per-region weights."""
-    import numpy as np
     from epidemicmodeling_tpu.data.xprize_io import (
         write_predictions_csv, write_prescriptions_csv)
     from epidemicmodeling_tpu.data.oxford import load_npi_costs
