@@ -71,7 +71,10 @@ def load_oxford_data(path, npi_columns: Optional[Sequence[str]] = None,
     npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
     df = pd.read_csv(path, dtype={"CountryName": str, "RegionName": str},
                      low_memory=False)
-    if np.issubdtype(df["Date"].dtype, np.number):
+    # pd.api check, not np.issubdtype: pandas' extension dtypes (the
+    # Arrow-backed StringDtype a CSV with ISO "2020-03-01" dates infers)
+    # crash np.issubdtype with an opaque TypeError
+    if pd.api.types.is_numeric_dtype(df["Date"]):
         date_num = df["Date"].astype(np.int64)
     else:
         date_num = pd.to_datetime(df["Date"]).dt.strftime("%Y%m%d").astype(

@@ -79,6 +79,12 @@ def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
         from ..data.preprocess import forward_fill_npis
         actual_list.append(forward_fill_npis(
             ent[npi_columns].to_numpy(float)))
+    if not series:
+        raise ValueError(
+            "no region in the geo list has usable training data in "
+            f"[{start_train}, {end_train}] (every one was skipped — see "
+            "the warnings above for per-region reasons: too few rows, or "
+            "missing from the populations file)")
     T_hist = max(s.npis.shape[0] for s in series)
     batch_train = build_region_batch(series, names,
                                     obs_type=cfg.observation_type)

@@ -102,6 +102,46 @@ def test_multi_year_horizon():
     assert np.all((u_p == 0) | (u_p == NPI_MAXES_DEFAULT[None, None, None, :]))
 
 
+def test_iso_string_dates_and_all_skipped_error(tmp_path):
+    """Two user-facing failure modes found by misuse probing (r4):
+    1. a CSV whose Date column pandas infers as the Arrow-backed
+       StringDtype (ISO '2020-03-01' dates) must parse, not crash
+       np.issubdtype with an opaque TypeError;
+    2. when EVERY region is skipped (short history / missing population),
+       the pipeline must raise a clear ValueError, not
+       'max() iterable argument is empty'."""
+    import pytest
+    from epidemicmodeling_tpu.data.oxford import load_oxford_data
+    from epidemicmodeling_tpu.data.preprocess import NPI_MAXES_DEFAULT
+    from epidemicmodeling_tpu.pipelines import (train_predict_prescribe,
+                                                PipelineConfig)
+
+    data = tmp_path / "iso.csv"
+    data.write_text("CountryName,RegionName,Date,ConfirmedCases\n"
+                    "X,,2020-03-01,5\nX,,2020-03-02,7\n")
+    df = load_oxford_data(data)
+    assert list(df["DateNum"]) == [20200301, 20200302]
+
+    (tmp_path / "geo.csv").write_text("CountryName,RegionName\nX,\n")
+    (tmp_path / "pop.csv").write_text(
+        "CountryName,RegionName,Code,Population2020\nX,,X1,1000000\n")
+    short = tmp_path / "short.csv"
+    short.write_text("CountryName,RegionName,Date,ConfirmedCases\n"
+                     "X,,2020-03-01,5\n")   # 1 row -> region skipped
+    with pytest.warns(UserWarning, match="insufficient training"):
+        with pytest.raises(ValueError, match="no region .* usable"):
+            train_predict_prescribe(
+                npi_weights=np.ones(12), epsilon_values=np.array([0.5]),
+                start_train_date="2020-03-01", end_train_date="2020-03-20",
+                start_regression_date="2020-03-01",
+                end_predict_date="2020-04-01",
+                data_file=str(short), geo_file=str(tmp_path / "geo.csv"),
+                populations_file=str(tmp_path / "pop.csv"),
+                npi_mins=np.zeros(12), npi_maxes=NPI_MAXES_DEFAULT,
+                cfg=PipelineConfig(backend="lanes", num_monte_carlo=4,
+                                   pareto_chunk=1))
+
+
 def test_cleaning_layer_fuzz_invariants():
     """Randomized pathological inputs (all NaN patterns x negative
     revisions x zero runs x constant tails) must never break the cleaning
