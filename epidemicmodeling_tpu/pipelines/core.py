@@ -827,6 +827,10 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
     R, T_full = batch_full.observations.shape
     P = batch_full.npis.shape[-1]
     E = len(epsilon_values)
+    if E == 0:
+        raise ValueError("epsilon_values is empty — pass at least one "
+                         "tradeoff point (control.epsilon_grid(n) builds "
+                         "the reference's log+linear grid)")
     fd = np.dtype(fdtype)
     prep = _pareto_prep_impl(
         _hcast(batch_full.observations, fd),

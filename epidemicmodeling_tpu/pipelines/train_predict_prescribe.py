@@ -141,6 +141,17 @@ def train_predict_prescribe(
     if npi_maxes is None:
         raise ValueError("npi_maxes is required (Oxford codebook maxima)")
     npi_maxes = np.asarray(npi_maxes, float)
+    for nm, arr, want in (("npi_maxes", npi_maxes, P),
+                          ("npi_mins", npi_mins, P)):
+        if arr.shape != (want,):
+            raise ValueError(
+                f"{nm} has shape {arr.shape}, expected ({want},) — one "
+                f"entry per NPI column ({P} columns configured)")
+    npi_weights = np.asarray(npi_weights, float)
+    if npi_weights.ndim == 1 and npi_weights.shape != (P,):
+        raise ValueError(
+            f"npi_weights has shape {npi_weights.shape}, expected ({P},) "
+            f"shared weights or (R, {P}) per-region weights")
     if not (num_days_between(start_train_date, end_train_date) >= 0
             and num_days_between(end_train_date, end_predict_date) >= 0):
         raise ValueError("Invalid input times order.")
