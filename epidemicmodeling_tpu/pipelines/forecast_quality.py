@@ -84,6 +84,11 @@ def _forecast_quality_body(batch, npi_mins, npi_maxes, num_regression_days,
     S = num_forecast_days
     H = max_look_ahead_days
     T_train = T - num_forecast_days
+    if not (1 <= S and T_train >= 2):
+        raise ValueError(
+            f"num_forecast_days={S} leaves {T_train} training days of the "
+            f"{T}-day series — need at least 2 (the holdout starts are the "
+            "LAST num_forecast_days days)")
 
     # train on the head window (same front-end as the flagship)
     train_batch = batch._replace(
