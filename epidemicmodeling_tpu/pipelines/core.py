@@ -400,6 +400,12 @@ def _region_weights(npi_weights, R, P, fdtype):
     Returns (R, P)."""
     w = jnp.asarray(npi_weights, fdtype)
     if w.ndim == 1:
+        if w.shape[0] != P:
+            # check before broadcast_to, whose own error is an opaque
+            # "incompatible shapes" deep inside a jitted prep
+            raise ValueError(
+                f"npi_weights has length {w.shape[0]}, expected {P} "
+                f"(one weight per NPI) or per-region ({R}, {P})")
         w = jnp.broadcast_to(w[None, :], (R, P))
     if w.shape != (R, P):
         raise ValueError(

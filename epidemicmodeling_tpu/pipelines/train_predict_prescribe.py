@@ -82,9 +82,11 @@ def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
     if not series:
         raise ValueError(
             "no region in the geo list has usable training data in "
-            f"[{start_train}, {end_train}] (every one was skipped — see "
-            "the warnings above for per-region reasons: too few rows, or "
-            "missing from the populations file)")
+            f"[{start_train}, {end_train}]" + (
+                " (every one was skipped — see the warnings above for "
+                "per-region reasons: too few rows, or missing from the "
+                "populations file)" if geo_ids else
+                " (the geo list is empty)"))
     T_hist = max(s.npis.shape[0] for s in series)
     batch_train = build_region_batch(series, names,
                                     obs_type=cfg.observation_type)
@@ -152,6 +154,10 @@ def train_predict_prescribe(
         raise ValueError(
             f"npi_weights has shape {npi_weights.shape}, expected ({P},) "
             f"shared weights or (R, {P}) per-region weights")
+    if len(np.atleast_1d(epsilon_values)) == 0:
+        raise ValueError("epsilon_values is empty — pass at least one "
+                         "tradeoff point (control.epsilon_grid(n) builds "
+                         "the reference's log+linear grid)")
     if not (num_days_between(start_train_date, end_train_date) >= 0
             and num_days_between(end_train_date, end_predict_date) >= 0):
         raise ValueError("Invalid input times order.")
@@ -161,8 +167,13 @@ def train_predict_prescribe(
     df = load_oxford_data(data_file, npi_columns, start_train_date,
                           end_predict_date)
     pops = load_populations(populations_file)
-    geo_ids = [g for g in load_geo_list(geo_file)
-               if g in set(df["GeoID"])]
+    requested = load_geo_list(geo_file)
+    geo_ids = [g for g in requested if g in set(df["GeoID"])]
+    if requested and not geo_ids:
+        raise ValueError(
+            f"none of the {len(requested)} regions in {geo_file!r} appear "
+            f"in {data_file!r} (first requested: {requested[0]!r}) — wrong "
+            "data file, or CountryName/RegionName spelling mismatch")
 
     batch_train, batch_full, actual_npis, T_hist, horizon = \
         build_batches_from_frames(df, pops, geo_ids, start_train_date,
