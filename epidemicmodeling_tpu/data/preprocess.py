@@ -112,6 +112,11 @@ def preprocess_region(confirmed, deaths, npis, population,
                       obs_noise_factor: float = 0.1) -> RegionSeries:
     """Full per-region cleaning pipeline
     (Tools/TrainPredictPrescribeNPI.m:130-247)."""
+    if not float(population) > 0:
+        raise ValueError(
+            f"population={population!r} — must be a positive count "
+            "(everything downstream normalizes per capita); check the "
+            "Population2020 column for this region")
     confirmed = np.asarray(confirmed, float)
     T = confirmed.shape[0]
     new_cases, ok = clean_case_series(confirmed)
