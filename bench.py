@@ -447,81 +447,97 @@ def main():
         except Exception as e:
             log(f"backtest leg skipped ({type(e).__name__}: {e})")
 
+    def _retry_leg(name, seconds, body):
+        """Run an optional leg with ONE retry: the shared chip throws
+        transient RESOURCE_EXHAUSTED when another tenant briefly holds
+        HBM (observed r4 — the same legs were green minutes later), and
+        losing these fields from the round's artifact of record costs
+        more than 20 s of backoff."""
+        for i in range(2):
+            try:
+                with _deadline(seconds, name):
+                    return body()
+            except Exception as e:
+                last = i == 1
+                log(f"{name} {'skipped' if last else 'failed, retrying'} "
+                    f"({type(e).__name__}: {e})")
+                if not last:
+                    time.sleep(20)
+        return None
+
     # ---- saturation datapoint: 235 x 2000 eps, costs+prescriptions only
     # (pareto_store_trajectories=False) — the VPU-bound regime the 150M/s
     # claim lives in; measured, not asserted (round-2 verdict weak #4)
     sat = None
     if R_REGIONS >= 100 and E_PARETO <= 1000:   # skip in small smoke runs
-        try:
-            with _deadline(900, "saturation leg"):
-                import dataclasses
-                E_SAT = 2000
-                cfg_sat = dataclasses.replace(
-                    cfg, pareto_store_trajectories=False)
-                eps_sat = np.asarray(epsilon_grid(E_SAT))
-                # cfg (not cfg_sat) for train/scenarios: their jits take
-                # cfg as a static arg and do not read the trajectories
-                # flag, so passing cfg_sat would force a pointless
-                # recompile inside the guarded window
-                train_out = train_regions(batch_train, np.zeros(12),
-                                          NPI_MAXES_DEFAULT, T_HIST, cfg)
-                _, s_hist = forecast_scenarios(
+        def _saturation_body():
+            import dataclasses
+            E_SAT = 2000
+            cfg_sat = dataclasses.replace(
+                cfg, pareto_store_trajectories=False)
+            eps_sat = np.asarray(epsilon_grid(E_SAT))
+            # cfg (not cfg_sat) for train/scenarios: their jits take
+            # cfg as a static arg and do not read the trajectories
+            # flag, so passing cfg_sat would force a pointless
+            # recompile inside the guarded window
+            train_out = train_regions(batch_train, np.zeros(12),
+                                      NPI_MAXES_DEFAULT, T_HIST, cfg)
+            _, s_hist = forecast_scenarios(
+                batch_full, train_out.trained, train_out.init,
+                np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT, T_HIST,
+                cfg)
+            jax.block_until_ready(s_hist)
+            for attempt in range(2):        # first call compiles
+                t3 = time.time()
+                par = pareto_prescribe(
                     batch_full, train_out.trained, train_out.init,
-                    np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT, T_HIST,
-                    cfg)
-                jax.block_until_ready(s_hist)
-                for attempt in range(2):        # first call compiles
-                    t3 = time.time()
-                    par = pareto_prescribe(
-                        batch_full, train_out.trained, train_out.init,
-                        s_hist, eps_sat, np.ones(12), np.zeros(12),
-                        NPI_MAXES_DEFAULT, T_HIST, cfg_sat,
-                        key=jax.random.PRNGKey(0))
-                    float(np.asarray(par["J0"]).sum())  # host fetch
-                    sat_s = time.time() - t3
-                sat_fd = R_REGIONS * E_SAT * (T_HIST + HORIZON)
-                sat_fd_per_s = sat_fd / sat_s
-                n_chunks = -(-E_SAT // cfg.pareto_chunk)
-                sat = {
-                    "regions": R_REGIONS, "eps": E_SAT,
-                    "pareto_s": round(sat_s, 3),
-                    "filter_days_per_s": round(sat_fd_per_s, 0),
-                    "achieved_gflops": round(
-                        sat_fd_per_s * FLOPS_PER_FILTER_DAY_6STATE / 1e9,
-                        1),
-                    "achieved_hbm_gbps": round(
-                        sat_fd_per_s * HBM_BYTES_PER_FILTER_DAY / 1e9, 1),
-                    "pct_vpu_peak": (None if vpu_peak_gflops is None else
-                                     round(100 * sat_fd_per_s
-                                           * FLOPS_PER_FILTER_DAY_6STATE
-                                           / 1e9 / vpu_peak_gflops, 1)),
-                    # since r4 the chunk loop is an on-device lax.scan
-                    # inside ONE executable (was host-dispatched in r<=3)
-                    "n_chunks": n_chunks,
-                }
-                log(f"saturation {R_REGIONS}x{E_SAT}: {sat_s:.2f}s pareto "
-                    f"= {sat_fd_per_s/1e6:.1f}M filter-days/s = "
-                    f"{sat['achieved_gflops']} GFLOP/s "
-                    f"({sat['pct_vpu_peak']}% of measured VPU peak) over "
-                    f"{n_chunks} on-device scanned chunks")
-        except Exception as e:
-            log(f"saturation leg skipped ({type(e).__name__}: {e})")
+                    s_hist, eps_sat, np.ones(12), np.zeros(12),
+                    NPI_MAXES_DEFAULT, T_HIST, cfg_sat,
+                    key=jax.random.PRNGKey(0))
+                float(np.asarray(par["J0"]).sum())  # host fetch
+                sat_s = time.time() - t3
+            sat_fd = R_REGIONS * E_SAT * (T_HIST + HORIZON)
+            sat_fd_per_s = sat_fd / sat_s
+            n_chunks = -(-E_SAT // cfg.pareto_chunk)
+            sat = {
+                "regions": R_REGIONS, "eps": E_SAT,
+                "pareto_s": round(sat_s, 3),
+                "filter_days_per_s": round(sat_fd_per_s, 0),
+                "achieved_gflops": round(
+                    sat_fd_per_s * FLOPS_PER_FILTER_DAY_6STATE / 1e9,
+                    1),
+                "achieved_hbm_gbps": round(
+                    sat_fd_per_s * HBM_BYTES_PER_FILTER_DAY / 1e9, 1),
+                "pct_vpu_peak": (None if vpu_peak_gflops is None else
+                                 round(100 * sat_fd_per_s
+                                       * FLOPS_PER_FILTER_DAY_6STATE
+                                       / 1e9 / vpu_peak_gflops, 1)),
+                # since r4 the chunk loop is an on-device lax.scan
+                # inside ONE executable (was host-dispatched in r<=3)
+                "n_chunks": n_chunks,
+            }
+            log(f"saturation {R_REGIONS}x{E_SAT}: {sat_s:.2f}s pareto "
+                f"= {sat_fd_per_s/1e6:.1f}M filter-days/s = "
+                f"{sat['achieved_gflops']} GFLOP/s "
+                f"({sat['pct_vpu_peak']}% of measured VPU peak) over "
+                f"{n_chunks} on-device scanned chunks")
+            return sat
+        sat = _retry_leg("saturation leg", 900, _saturation_body)
 
     # ---- hardware kernel parity: the bang-bang disagreement bound from
     # tests/test_tpu_hardware.py:23-66, run on THIS chip every bench so the
     # artifact certifies Mosaic numerics (f32 op-order flips at knife-edge
     # epsilon), not just speed. A kernel change that widens the divergence
     # now fails in the driver artifact even with a green CPU suite.
-    hw_parity = None
-    try:
-        with _deadline(300, "hw kernel parity"):
-            hw_parity = measure_hw_kernel_parity(jax)
+    def _hw_parity_body():
+        hp = measure_hw_kernel_parity(jax)
         log(f"hw kernel parity: bang-bang disagree "
-            f"{hw_parity['bang_bang_disagree']:.5f} overall, "
-            f"{hw_parity['bang_bang_disagree_hi_eps']:.5f} at eps>=1e-3 "
+            f"{hp['bang_bang_disagree']:.5f} overall, "
+            f"{hp['bang_bang_disagree_hi_eps']:.5f} at eps>=1e-3 "
             f"(bounds 0.005 / 0.001)")
-    except Exception as e:
-        log(f"hw kernel parity skipped ({type(e).__name__}: {e})")
+        return hp
+
+    hw_parity = _retry_leg("hw kernel parity", 300, _hw_parity_body)
 
     print(json.dumps({
         "metric": ("xprize_train_predict_prescribe_"
