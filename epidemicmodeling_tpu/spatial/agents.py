@@ -60,6 +60,10 @@ class PopulationSimConfig:
     # "pallas": tiled VMEM kernel (ops/pallas/pairwise.py), O(N) HBM per
     # step — required beyond N ~ 2e4 where the XLA intermediate (GBs)
     # exhausts a 16 GB chip; measured N=1e5 at ~0.5 s/step on one v5e.
+    # NOTE: the pallas path computes forces in f32 EVERYWHERE, including
+    # interpret mode on the float64 CPU path (deliberate: interpret-mode
+    # results then match hardware numerics) — comparing backends under x64
+    # shows ~1e-7-level force drift from the precision change alone.
     force_backend: str = "xla"
 
     def __post_init__(self):

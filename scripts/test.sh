@@ -9,10 +9,21 @@ set -u
 cd "$(dirname "$0")/.."
 
 # Does the invocation include an explicit test path / node id (a non-flag
-# arg)? Flags alone (-x, --lf, ...) still mean "the whole suite".
+# arg)? Flags alone (-x, --lf, ...) still mean "the whole suite". A value
+# consumed by a value-taking flag (`-k pattern`, `-m marker`, ...) is part
+# of the flag, NOT a selection — otherwise `test.sh -k pattern` on a 1-CPU
+# host would sweep the entire suite in one unbounded -n0 process, the
+# exact wedge mode the flag-only refusal below exists to prevent.
 has_selection=0
+expect_value=0
 for a in "$@"; do
+  if [ "$expect_value" = 1 ]; then
+    expect_value=0
+    continue
+  fi
   case "$a" in
+    -k|-m|-o|-p|-W|-c|--deselect|--ignore|--rootdir|--confcutdir|--junitxml|--basetemp)
+      expect_value=1 ;;
     -*) ;;
     *) has_selection=1 ;;
   esac

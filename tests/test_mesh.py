@@ -104,6 +104,19 @@ def test_pipeline_mesh_rejects_indivisible_pareto_chunk():
                      PipelineConfig(backend="lanes", pareto_chunk=3),
                      mesh=mesh)
 
+    # calling the stage directly (not through run_pipeline) must hit the
+    # same friendly guard, not a raw NamedSharding divisibility error
+    from epidemicmodeling_tpu.pipelines.core import (pareto_prescribe,
+                                                     train_regions)
+    cfg = PipelineConfig(backend="lanes", pareto_chunk=3)
+    tr = train_regions(bt, np.zeros(12), NPI_MAXES_DEFAULT, 70, cfg)
+    s_hist = np.zeros((4, 70, 3))
+    with _pytest.raises(ValueError, match="pareto_chunk"):
+        pareto_prescribe(bf, tr.trained, tr.init, s_hist,
+                         np.asarray(epsilon_grid(6)), np.ones(12),
+                         np.zeros(12), NPI_MAXES_DEFAULT, 70, cfg,
+                         mesh=mesh)
+
 
 def test_pad_for_mesh_per_device_tiles():
     """Every device's lane shard must be a kernel-tile multiple
