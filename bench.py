@@ -189,6 +189,114 @@ def measure_hw_kernel_parity(jax):
     }
 
 
+def measure_hw_closed_loop(jax):
+    """Closed-loop lanes-vs-pallas divergence on THIS chip, at the r4
+    measurement's shape (4 regions x 32-epsilon grid x 180+40 days).
+
+    The single-pass Mosaic bound (measure_hw_kernel_parity) cannot see
+    what the CLOSED-LOOP pipeline does with a flipped cell: a knife-edge
+    u flip perturbs the rollout, so later days diverge — measured r4 at
+    ~5-10% differing u cells at small epsilon, ~1-3% at mid epsilon, 0%
+    as epsilon -> 1 (control off), with the policies near cost-equivalent
+    (realized (1-eps)J0 + eps*J1 within 7%, typically 1-2%). That
+    envelope lived only in prose until r5; this leg re-measures it every
+    round and flags ok=false when a kernel change widens it.
+
+    Runs the actual product stages (train -> scenarios -> pareto) under
+    both backends. Reference hot loop: TrainPredictPrescribeNPI.m:421-494.
+    """
+    from epidemicmodeling_tpu.control import epsilon_grid
+    from epidemicmodeling_tpu.data.preprocess import (NPI_MAXES_DEFAULT,
+                                                      build_region_batch,
+                                                      preprocess_region)
+    from epidemicmodeling_tpu.data.synthetic import synthetic_oxford_frame
+    from epidemicmodeling_tpu.ops.pallas import should_interpret
+    from epidemicmodeling_tpu.pipelines import PipelineConfig
+    from epidemicmodeling_tpu.pipelines.core import (forecast_scenarios,
+                                                     pareto_prescribe,
+                                                     train_regions)
+
+    T_CL, H_CL, E_CL = 180, 40, 32
+    _, _, truth = synthetic_oxford_frame(n_regions=4, n_days=T_CL, seed=11)
+    sers, names = [], []
+    for name, tr in truth.items():
+        nc = tr["s"] * tr["i"] * tr["alpha"] * tr["pop"]
+        sers.append(preprocess_region(np.cumsum(nc), None, tr["u"],
+                                      tr["pop"]))
+        names.append(name)
+    bt = build_region_batch(sers, names)
+    bf = build_region_batch(sers, names, horizon=H_CL)
+    eps = np.asarray(epsilon_grid(E_CL))
+
+    outs = {}
+    for backend in ("lanes", "pallas"):
+        cfg = PipelineConfig(backend=backend, pareto_chunk=E_CL,
+                             smoother_gain="solve")
+        tr_out = train_regions(bt, np.zeros(12), NPI_MAXES_DEFAULT, T_CL,
+                               cfg)
+        _, s_hist = forecast_scenarios(
+            bf, tr_out.trained, tr_out.init, np.ones(12), np.zeros(12),
+            NPI_MAXES_DEFAULT, T_CL, cfg)
+        par = pareto_prescribe(
+            bf, tr_out.trained, tr_out.init, s_hist, eps, np.ones(12),
+            np.zeros(12), NPI_MAXES_DEFAULT, T_CL, cfg,
+            key=jax.random.PRNGKey(0))
+        outs[backend] = (np.asarray(par["u_prescribed"]),
+                         np.asarray(par["J0"]), np.asarray(par["J1"]))
+
+    ua, j0a, j1a = outs["lanes"]
+    ub, j0b, j1b = outs["pallas"]
+    flips = (ua != ub).mean(axis=(1, 2, 3))           # per-epsilon rate
+    small, mid, top = eps < 1e-3, (eps >= 1e-3) & (eps < 0.99), eps >= 0.99
+    # realized scalarized cost of each backend's own policy at the SAME
+    # epsilon: near-equal on most cells, but a few sit on genuine policy
+    # BIFURCATIONS (the switching epsilon itself), where the backends land
+    # on different branches — measured r5: 126/128 cells within 7%,
+    # median 0.3%, two bifurcation cells at 18-24% (one branch trades J0
+    # for J1). Bound the median and the tail FRACTION, not the max.
+    ca = (1.0 - eps)[:, None] * j0a + eps[:, None] * j1a
+    cb = (1.0 - eps)[:, None] * j0b + eps[:, None] * j1b
+    cost_rel = np.abs(ca - cb) / np.maximum(
+        np.maximum(np.abs(ca), np.abs(cb)), 1e-30)
+    # front equivalence — the statement users actually consume: for the
+    # scalarization at each epsilon, the BEST cost achievable from each
+    # backend's whole policy family must match (robust to bifurcation,
+    # since both families contain both branches at shifted epsilon).
+    # Measured r5: max 1.6%, median 0.
+    w0, w1 = (1.0 - eps)[:, None, None], eps[:, None, None]
+    ca_best = np.min(w0 * j0a[None] + w1 * j1a[None], axis=1)
+    cb_best = np.min(w0 * j0b[None] + w1 * j1b[None], axis=1)
+    front_rel = np.abs(ca_best - cb_best) / np.maximum(
+        np.maximum(ca_best, cb_best), 1e-30)
+    bounds = {"flip_small_eps": 0.10, "flip_mid_eps": 0.03,
+              "flip_top_eps": 0.0, "cost_reldiff_median": 0.02,
+              "cost_tail_frac_over_7pct": 0.05,
+              "front_cost_reldiff_max": 0.05}
+    res = {
+        "flip_small_eps": round(float(flips[small].mean()), 5),
+        "flip_mid_eps": round(float(flips[mid].mean()), 5),
+        "flip_top_eps": round(float(flips[top].mean()), 5),
+        "cost_reldiff_max": round(float(cost_rel.max()), 5),
+        "cost_reldiff_median": round(float(np.median(cost_rel)), 5),
+        "cost_tail_frac_over_7pct": round(
+            float((cost_rel > 0.07).mean()), 5),
+        "front_cost_reldiff_max": round(float(front_rel.max()), 5),
+        "regions": 4, "eps": E_CL, "days": f"{T_CL}+{H_CL}",
+        "bounds": bounds,
+        "mode": "interpret" if should_interpret() else "mosaic",
+    }
+    res["ok"] = bool(
+        res["flip_small_eps"] <= bounds["flip_small_eps"]
+        and res["flip_mid_eps"] <= bounds["flip_mid_eps"]
+        and res["flip_top_eps"] <= bounds["flip_top_eps"]
+        and res["cost_reldiff_median"] <= bounds["cost_reldiff_median"]
+        and (res["cost_tail_frac_over_7pct"]
+             <= bounds["cost_tail_frac_over_7pct"])
+        and (res["front_cost_reldiff_max"]
+             <= bounds["front_cost_reldiff_max"]))
+    return res
+
+
 def main():
     import os
 
@@ -554,6 +662,28 @@ def main():
 
     hw_parity = _retry_leg("hw kernel parity", 300, _hw_parity_body)
 
+    # ---- closed-loop hardware divergence: the r4 prose envelope as a
+    # measured, bounded artifact field (VERDICT r4 weak #1). ok=false when
+    # a kernel change widens the lanes-vs-pallas closed-loop divergence.
+    def _hw_closed_loop_body():
+        cl = measure_hw_closed_loop(jax)
+        log(f"hw closed loop: u-flip small-eps {cl['flip_small_eps']:.4f} "
+            f"(<= {cl['bounds']['flip_small_eps']}), mid "
+            f"{cl['flip_mid_eps']:.4f} (<= {cl['bounds']['flip_mid_eps']}),"
+            f" top {cl['flip_top_eps']:.4f}; same-eps cost reldiff median "
+            f"{cl['cost_reldiff_median']:.4f}, tail>7% "
+            f"{cl['cost_tail_frac_over_7pct']:.3f}; front-cost reldiff "
+            f"max {cl['front_cost_reldiff_max']:.4f} "
+            f"(<= {cl['bounds']['front_cost_reldiff_max']}) -> "
+            f"{'OK' if cl['ok'] else 'FAIL'}")
+        if not cl["ok"]:
+            log("hw closed loop: DIVERGENCE ENVELOPE EXCEEDED — a kernel "
+                "change widened the closed-loop lanes-vs-pallas gap "
+                "(see CLAUDE.md performance-architecture note 4)")
+        return cl
+
+    hw_closed_loop = _retry_leg("hw closed loop", 900, _hw_closed_loop_body)
+
     print(json.dumps({
         "metric": ("xprize_train_predict_prescribe_"
                    f"{R_REGIONS}regions_{E_PARETO}eps_wallclock"),
@@ -618,6 +748,7 @@ def main():
         "saturation": sat,
         "backtest": backtest,
         "hw_kernel_parity": hw_parity,
+        "hw_closed_loop": hw_closed_loop,
         # schema note: since round 3, filter_days_per_s divides by
         # pareto_stage_s (the sweep's own time), NOT total warm wall-clock
         # as in BENCH_r01/r02 — don't mix denominators across rounds
