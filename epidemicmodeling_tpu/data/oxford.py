@@ -71,6 +71,22 @@ def load_oxford_data(path, npi_columns: Optional[Sequence[str]] = None,
     npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
     df = pd.read_csv(path, dtype={"CountryName": str, "RegionName": str},
                      low_memory=False)
+    # a missing NPI or cases column would silently train on zero-filled
+    # series — refuse instead (OxCGRT renamed columns across versions,
+    # e.g. "H6_Facial Coverings" -> "H6M_Facial Coverings"; pass
+    # npi_columns matching the file's header). RegionName/ConfirmedDeaths
+    # stay lenient: country-only tables omit the former, and deaths only
+    # feed the optional mortality estimate.
+    hard = [c for c in ["Date", "CountryName", "ConfirmedCases"]
+            + npi_columns if c not in df.columns]
+    if hard:
+        raise ValueError(
+            f"{path!r} is missing required columns {hard} — check the NPI "
+            "column names against the file header (OxCGRT releases renamed "
+            "some, e.g. 'H6_Facial Coverings' vs 'H6M_Facial Coverings')")
+    for c in ("RegionName", "ConfirmedDeaths"):
+        if c not in df.columns:
+            df[c] = np.nan
     # pd.api check, not np.issubdtype: pandas' extension dtypes (the
     # Arrow-backed StringDtype a CSV with ISO "2020-03-01" dates infers)
     # crash np.issubdtype with an opaque TypeError
@@ -87,9 +103,6 @@ def load_oxford_data(path, npi_columns: Optional[Sequence[str]] = None,
         df = df[df["DateNum"] <= int(end_date.replace("-", ""))]
     needed = (["CountryName", "RegionName", "GeoID", "DateNum",
                "ConfirmedCases", "ConfirmedDeaths"] + npi_columns)
-    for c in needed:
-        if c not in df.columns:
-            df[c] = np.nan
     return df[needed].sort_values(["GeoID", "DateNum"]).reset_index(drop=True)
 
 

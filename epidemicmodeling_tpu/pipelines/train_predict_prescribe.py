@@ -48,6 +48,15 @@ def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
     Returns (batch_train, batch_full, actual_npis, T_hist, horizon).
     """
     npi_columns = list(npi_columns or OXFORD_NPI_COLUMNS)
+    required = ["GeoID", "DateNum", "ConfirmedCases", "ConfirmedDeaths"] \
+        + npi_columns
+    missing_cols = [c for c in required if c not in df.columns]
+    if missing_cols:
+        raise ValueError(
+            f"data frame is missing required columns {missing_cols} — "
+            "expected an OxCGRT-schema frame (load_oxford_data adds "
+            "GeoID/DateNum); check npi_columns spelling against the file "
+            "header")
     d0 = int(str(start_train).replace("-", ""))
     d1 = int(str(end_train).replace("-", ""))
     d2 = int(str(end_predict).replace("-", ""))
@@ -57,6 +66,17 @@ def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
     series, names, actual_list = [], [], []
     for gid in geo_ids:
         sub = df[(df["GeoID"] == gid) & (df["DateNum"] >= d0)]
+        # the reference's frames arrive date-sorted and unique per region
+        # (one OxCGRT row per day); hostile frames may not — sort here and
+        # refuse duplicates rather than silently mis-ordering the series
+        sub = sub.sort_values("DateNum", kind="stable")
+        dup = sub["DateNum"].duplicated()
+        if bool(dup.any()):
+            first = int(sub["DateNum"][dup].iloc[0])
+            raise ValueError(
+                f"region {gid!r} has duplicate rows for date {first} — "
+                "each (GeoID, Date) must be unique; deduplicate the data "
+                "file before training")
         tr = sub[sub["DateNum"] <= d1]
         if len(tr) < 2:
             import warnings
