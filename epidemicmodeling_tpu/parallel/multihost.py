@@ -51,17 +51,28 @@ def _set_device_count_flag(flags: str, n: int) -> str:
 
 
 def init_distributed(coordinator: str, num_processes: int, process_id: int,
-                     local_devices: int) -> None:
+                     local_devices: int,
+                     collective_timeout_s: int = 1800) -> None:
     """Join the distributed runtime with ``local_devices`` virtual CPU
     devices. Must run before any jax computation in this process: the
     platform pin and the XLA device-count flag are both backend-init-time
     settings (env-var JAX_PLATFORMS alone is too late under the axon
-    sitecustomize — see utils/platform.force_cpu_devices)."""
+    sitecustomize — see utils/platform.force_cpu_devices).
+
+    collective_timeout_s raises XLA:CPU's collective deadline (default
+    30 s — it bounds both the Gloo rendezvous KV wait and the op wait).
+    Cold XLA:CPU compiles on a contended host skew the processes' dispatch
+    times by MINUTES (one hits the shared persistent cache where the other
+    compiles), and a peer-less 30 s wait at the first cross-process
+    collective then kills the run (observed repeatedly on a 1-CPU host)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    os.environ["XLA_FLAGS"] = _set_device_count_flag(
+    flags = _set_device_count_flag(
         os.environ.get("XLA_FLAGS", ""), local_devices)
+    if "xla_cpu_collective_timeout_seconds" not in flags:
+        flags += f" --xla_cpu_collective_timeout_seconds={collective_timeout_s}"
+    os.environ["XLA_FLAGS"] = flags
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -92,18 +103,94 @@ def make_multihost_mesh(ep: int | None = None, n_total: int | None = None,
     return Mesh(np.array(devs).reshape(n // ep, ep), axis_names)
 
 
+def _enable_cache() -> None:
+    """Point the child at the repo's machine-keyed persistent XLA cache.
+    The dryrun's cost is ~entirely XLA:CPU compile time (measured 82 s
+    compile vs 0.1 s execute per process at the dryrun shapes), so cache
+    hits from a previous dryrun/test run on the same host class turn the
+    whole harness from minutes into seconds."""
+    import jax
+
+    from ..utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache(jax, _repo_root())
+
+
+def _warm_gloo_cliques(mesh) -> None:
+    """Pre-establish every Gloo communicator clique the mesh programs can
+    need (full mesh + each axis's cross-device groups) with tiny psums.
+
+    Gloo context creation has a hard ~30 s key-value rendezvous timeout
+    baked into XLA:CPU, and it fires lazily at the FIRST collective of an
+    executing program. On a contended host, cold XLA:CPU compiles skew the
+    workers' dispatch times far past 30 s (observed: one worker hits the
+    persistent cache and dispatches instantly while the other compiles for
+    minutes -> DEADLINE_EXCEEDED in connectFullMesh). Running these
+    trivial collectives immediately after jax.distributed.initialize —
+    while the processes are still synchronized by the init barrier — puts
+    every clique in XLA:CPU's communicator cache, making all later
+    collectives immune to compile skew."""
+    import jax
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    def _psum_all(m) -> None:
+        names = tuple(m.axis_names)
+        ones = jax.device_put(
+            np.ones(tuple(m.shape[a] for a in names), np.float32),
+            NamedSharding(m, P(*names)))
+        for axes in [(a,) for a in names] + [names]:
+            out_spec = P(*(None if a in axes else a for a in names))
+            fn = jax.jit(jax.shard_map(
+                lambda x, _axes=axes: jax.lax.psum(x, _axes), mesh=m,
+                in_specs=P(*names), out_specs=out_spec))
+            jax.block_until_ready(fn(ones))
+
+    _psum_all(mesh)
+    # XLA enumerates a collective's participants in the op's OWN replica-
+    # group order, and the Gloo clique key is that ordered list — so the
+    # row-major warmup above does not cover ops that group the same
+    # devices column-major (observed: cpu:gloo/0,2048,1,2049 timing out
+    # with the 0,1,2048,2049 clique already warm). Warm the transposed
+    # mesh too: for the 2-axis dryrun mesh, row-major + column-major +
+    # both axes' pair groups exhaust every grouping XLA can emit.
+    _psum_all(Mesh(mesh.devices.T, tuple(reversed(mesh.axis_names))))
+    # the result-gather clique is keyed on yet another enumeration — warm
+    # it with the same utility the gather uses
+    multihost_utils.process_allgather(np.zeros(1, np.float32), tiled=True)
+
+
+def _coord_barrier(name: str, timeout_s: int = 1800) -> None:
+    """Synchronize all processes via the coordination service (plain gRPC
+    to the coordinator — no Gloo, no collective compile). Used wherever
+    processes must rendezvous after an unboundedly-skewed phase (cold XLA
+    compiles): Gloo's ~30 s rendezvous/op deadlines cannot absorb that
+    skew, but this barrier's timeout is ours to set."""
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, timeout_s * 1000)
+
+
 def _worker(out_path: str, coordinator: str, num_processes: int,
             process_id: int, local_devices: int, R: int, E: int,
             T_hist: int, horizon: int, backend: str) -> None:
     init_distributed(coordinator, num_processes, process_id, local_devices)
+    _enable_cache()
     import jax
     from jax.experimental import multihost_utils
 
     from .mesh import sharded_train_prescribe_step
 
     mesh = make_multihost_mesh(ep=local_devices)
+    _warm_gloo_cliques(mesh)
     out = sharded_train_prescribe_step(mesh, R=R, E=E, T_hist=T_hist,
                                        horizon=horizon, backend=backend)
+    # in-program work is DCN-free by design (inputs replicated, ep intra-
+    # process — see module docstring), so local completion needs no peer;
+    # then rendezvous on the coordination service before the Gloo gather so
+    # compile skew between processes (minutes, cold) can't trip Gloo's
+    # ~30 s deadlines (observed on a contended 1-CPU host).
+    jax.block_until_ready((out["J0"], out["a2"]))
+    _coord_barrier("epi_pre_gather")
     # every process gathers the full (E, R) cost surface; process 0 dumps
     J0 = np.asarray(multihost_utils.process_allgather(
         out["J0"], tiled=True))
@@ -114,6 +201,13 @@ def _worker(out_path: str, coordinator: str, num_processes: int,
           f"J0 {J0.shape} finite={bool(np.isfinite(J0).all())}", flush=True)
     if process_id == 0:
         np.savez(out_path, J0=J0, a2=a2)
+    # explicit synchronized teardown: the atexit shutdown path runs at
+    # interpreter-exit time, which on a contended 1-CPU host can skew
+    # between processes past the 5-min shutdown-barrier deadline (observed:
+    # DEADLINE_EXCEEDED with 1/2 tasks at the barrier). Sync while the
+    # runtime is fully alive, then shut down deterministically.
+    _coord_barrier("epi_multihost_done")
+    jax.distributed.shutdown()
 
 
 def _reference(out_path: str, n_devices: int, ep: int, R: int, E: int,
@@ -125,6 +219,7 @@ def _reference(out_path: str, n_devices: int, ep: int, R: int, E: int,
 
     if not force_cpu_devices(n_devices):
         raise RuntimeError("reference: could not force CPU devices")
+    _enable_cache()
     from .mesh import sharded_train_prescribe_step
 
     mesh = make_multihost_mesh(ep=ep, n_total=n_devices)
@@ -142,13 +237,15 @@ def _free_port() -> int:
 def run_multihost_dryrun(n_devices: int = 8, n_processes: int = 2,
                          R: int = 4, E: int = 4, T_hist: int = 48,
                          horizon: int = 16, backend: str = "lanes",
-                         timeout: int = 1800, verbose: bool = True) -> dict:
+                         timeout: int = 1800, verbose: bool = True,
+                         summary: bool = False) -> dict:
     """Spawn ``n_processes`` jax.distributed workers (n_devices split evenly
     between them) plus a single-process reference, and pin J0/a2 parity.
 
     Returns {"J0": ..., "max_abs_diff": ...}; raises on any child failure
-    or parity violation. This is the `dryrun_multichip(..., multiprocess=
-    True)` entry (driver contract) and the SURVEY §2.10 DCN demonstration.
+    or parity violation. This is part of the `dryrun_multichip` driver
+    contract and the SURVEY §2.10 DCN demonstration. verbose=True streams
+    the child logs; summary=True prints just the final OK line.
     """
     if n_devices % n_processes:
         raise ValueError(f"{n_devices} devices not divisible by "
@@ -168,29 +265,10 @@ def run_multihost_dryrun(n_devices: int = 8, n_processes: int = 2,
         rout = os.path.join(td, "ref.npz")
         common = ["--R", str(R), "--E", str(E), "--T-hist", str(T_hist),
                   "--horizon", str(horizon), "--backend", backend]
-        procs = []
-        for pid in range(n_processes):
-            procs.append(subprocess.Popen(
-                [sys.executable, "-m",
-                 "epidemicmodeling_tpu.parallel.multihost", "worker",
-                 "--out", wout, "--coordinator", coord,
-                 "--num-processes", str(n_processes),
-                 "--process-id", str(pid),
-                 "--local-devices", str(local)] + common,
-                env=env, cwd=root, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True))
-        ref = subprocess.Popen(
-            [sys.executable, "-m",
-             "epidemicmodeling_tpu.parallel.multihost", "reference",
-             "--out", rout, "--n-devices", str(n_devices),
-             "--local-devices", str(local)] + common,
-            env=env, cwd=root, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True)
-
         logs = []
         fail = []
-        for name, p in [(f"worker{i}", q) for i, q in enumerate(procs)] + \
-                       [("reference", ref)]:
+
+        def _drain(name, p):
             try:
                 out, _ = p.communicate(timeout=timeout)
             except subprocess.TimeoutExpired:
@@ -200,6 +278,34 @@ def run_multihost_dryrun(n_devices: int = 8, n_processes: int = 2,
             logs.append(f"--- {name} ---\n{out}")
             if p.returncode != 0:
                 fail.append(f"{name}: exit {p.returncode}")
+
+        # reference FIRST, alone: it populates the persistent compile cache
+        # and a contended host then runs only the two workers concurrently
+        # (three-way CPU sharing of cold XLA:CPU compiles was the main
+        # source of worker dispatch skew)
+        ref = subprocess.Popen(
+            [sys.executable, "-m",
+             "epidemicmodeling_tpu.parallel.multihost", "reference",
+             "--out", rout, "--n-devices", str(n_devices),
+             "--local-devices", str(local)] + common,
+            env=env, cwd=root, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        _drain("reference", ref)
+
+        procs = []
+        if not fail:
+            for pid in range(n_processes):
+                procs.append(subprocess.Popen(
+                    [sys.executable, "-m",
+                     "epidemicmodeling_tpu.parallel.multihost", "worker",
+                     "--out", wout, "--coordinator", coord,
+                     "--num-processes", str(n_processes),
+                     "--process-id", str(pid),
+                     "--local-devices", str(local)] + common,
+                    env=env, cwd=root, stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT, text=True))
+        for i, p in enumerate(procs):
+            _drain(f"worker{i}", p)
         if verbose:
             print("\n".join(logs), flush=True)
         if fail:
@@ -214,7 +320,7 @@ def run_multihost_dryrun(n_devices: int = 8, n_processes: int = 2,
             raise RuntimeError(
                 f"multihost parity violation: max|dJ0|={dj:.3e} "
                 f"max|da2|={da:.3e}")
-        if verbose:
+        if verbose or summary:
             print(f"multihost dryrun OK [{backend}]: {n_processes} procs x "
                   f"{local} devices, J0 {w['J0'].shape}, "
                   f"max|dJ0| vs single-process = {dj:.2e}", flush=True)
