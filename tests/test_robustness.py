@@ -116,9 +116,15 @@ def test_iso_string_dates_and_all_skipped_error(tmp_path):
     from epidemicmodeling_tpu.pipelines import (train_predict_prescribe,
                                                 PipelineConfig)
 
+    from epidemicmodeling_tpu.data.oxford import OXFORD_NPI_COLUMNS
+    npi_hdr = "," + ",".join(OXFORD_NPI_COLUMNS)
+    npi_row = "," + ",".join("0" for _ in OXFORD_NPI_COLUMNS)
+    # the loader hard-refuses missing NPI columns since the r5 ingestion
+    # fuzz — the fixture carries them so this test exercises only the
+    # ISO-date and all-skipped paths
     data = tmp_path / "iso.csv"
-    data.write_text("CountryName,RegionName,Date,ConfirmedCases\n"
-                    "X,,2020-03-01,5\nX,,2020-03-02,7\n")
+    data.write_text(f"CountryName,RegionName,Date,ConfirmedCases{npi_hdr}\n"
+                    f"X,,2020-03-01,5{npi_row}\nX,,2020-03-02,7{npi_row}\n")
     df = load_oxford_data(data)
     assert list(df["DateNum"]) == [20200301, 20200302]
 
@@ -126,8 +132,8 @@ def test_iso_string_dates_and_all_skipped_error(tmp_path):
     (tmp_path / "pop.csv").write_text(
         "CountryName,RegionName,Code,Population2020\nX,,X1,1000000\n")
     short = tmp_path / "short.csv"
-    short.write_text("CountryName,RegionName,Date,ConfirmedCases\n"
-                     "X,,2020-03-01,5\n")   # 1 row -> region skipped
+    short.write_text(f"CountryName,RegionName,Date,ConfirmedCases{npi_hdr}\n"
+                     f"X,,2020-03-01,5{npi_row}\n")  # 1 row -> skipped
     with pytest.warns(UserWarning, match="insufficient training"):
         with pytest.raises(ValueError, match="no region .* usable"):
             train_predict_prescribe(
