@@ -181,12 +181,40 @@ def measure_hw_kernel_parity(jax):
     b = np.asarray(ref.u_opt_smooth[T_hist:-1])
     differ = a != b
     lane_rate = differ.mean(axis=(0, 1))
-    return {
+
+    # adaptive-R (beta != 1): the in-kernel VMEM innovation windows +
+    # NaN-hole reset are a separate Mosaic code path the suite only
+    # exercises in interpret mode (tests/test_ekf6_kernel.py:239) —
+    # certify it on THIS chip too. States are compared with a scaled
+    # error (hardware f32 op-order drift), the bang-bang output with the
+    # same disagreement-rate family as the main leg.
+    ref_a = ekf_smoother_bl(
+        si_alpha_costate_ekf_system_bl(), u, x, params, s_init, Ps_init,
+        s_final, Ps_final, Q=Q, R=Rv, gamma_discount=0.995, beta=0.9,
+        inv_monitor_len=21)
+    ssm_a, usm_a, splus_a = ekf6_pallas(
+        u, x, Rv, scal, vecs, s_init, Ps_init.reshape(36, -1),
+        s_final, Ps_final.reshape(36, -1), gamma_discount=0.995,
+        beta=0.9, inv_monitor_len=21, interpret=interp)
+    sp_err = float((np.abs(np.asarray(splus_a) - np.asarray(ref_a.s_plus))
+                    / (np.abs(np.asarray(ref_a.s_plus)) + 1.0)).max())
+    u_diff = float((np.asarray(usm_a[T_hist:-1])
+                    != np.asarray(ref_a.u_opt_smooth[T_hist:-1])).mean())
+    bounds = {"bang_bang_disagree": 0.005,
+              "bang_bang_disagree_hi_eps": 0.001,
+              "adaptive_R_splus_scaled_err": 1e-3,
+              "adaptive_R_bang_bang_disagree": 0.005}
+    res = {
         "bang_bang_disagree": round(float(differ.mean()), 6),
         "bang_bang_disagree_hi_eps": round(
             float(lane_rate[eps >= 1e-3].mean()), 6),
+        "adaptive_R_splus_scaled_err": round(sp_err, 8),
+        "adaptive_R_bang_bang_disagree": round(u_diff, 6),
         "lanes": B, "mode": "interpret" if interp else "mosaic",
+        "bounds": bounds,
     }
+    res["ok"] = bool(all(res[k] <= v for k, v in bounds.items()))
+    return res
 
 
 def measure_hw_closed_loop(jax):
@@ -250,8 +278,7 @@ def measure_hw_closed_loop(jax):
     # tests/test_tpu_hardware.py::test_pipeline_epsilon_flip_on_hardware,
     # derived from the sweep already computed): prescriptions bang-bang,
     # NPI burden falls and case cost rises as epsilon -> 1
-    from epidemicmodeling_tpu.data.preprocess import NPI_MAXES_DEFAULT as _MX
-    mx = np.asarray(_MX)
+    mx = np.asarray(NPI_MAXES_DEFAULT)
     bang_bang = bool(all(
         np.all((np.abs(u_) < 1e-6) | (np.abs(u_ - mx) < 1e-6))
         for u_ in (ua, ub)))
@@ -324,6 +351,7 @@ def measure_hw_spatial(jax):
     EPI_TEST_TPU=1."""
     import jax.numpy as jnp
 
+    from epidemicmodeling_tpu.ops.pallas import should_interpret
     from epidemicmodeling_tpu.ops.pallas.pairwise import social_forces_pallas
     from epidemicmodeling_tpu.ops.pallas.stencil import diffusion_step_pallas
     from epidemicmodeling_tpu.spatial.agents import (PopulationSimConfig,
@@ -331,6 +359,7 @@ def measure_hw_spatial(jax):
                                                      default_environment)
     from epidemicmodeling_tpu.spatial.diffusion import diffusion_step_8
 
+    interp = should_interpret()   # real Mosaic on TPU; interpret elsewhere
     N = 4096
     cfg_p = PopulationSimConfig(n_subjects=N)
     _, obstacle_xy = default_environment(cfg_p)
@@ -340,7 +369,7 @@ def measure_hw_spatial(jax):
                                     jnp.asarray(obstacle_xy, jnp.float32),
                                     cfg_p))
     got = np.asarray(social_forces_pallas(jnp.asarray(pos), obstacle_xy,
-                                          cfg_p, interpret=False))
+                                          cfg_p, interpret=interp))
     pair_err = float(np.max(np.abs(got - ref)) / np.abs(ref).max())
 
     C = jnp.asarray(np.random.default_rng(1).random((300, 260)), jnp.float32)
@@ -355,6 +384,7 @@ def measure_hw_spatial(jax):
         "pairwise_n": N, "pairwise_scaled_err": pair_err,
         "stencil_shape": [300, 260], "stencil_abs_err": sten_err,
         "bounds": bounds,
+        "mode": "interpret" if interp else "mosaic",
         "ok": bool(pair_err <= bounds["pairwise_scaled_err"]
                    and sten_err <= bounds["stencil_abs_err"]),
     }
@@ -817,7 +847,10 @@ def main():
         log(f"hw kernel parity: bang-bang disagree "
             f"{hp['bang_bang_disagree']:.5f} overall, "
             f"{hp['bang_bang_disagree_hi_eps']:.5f} at eps>=1e-3 "
-            f"(bounds 0.005 / 0.001)")
+            f"(bounds 0.005 / 0.001); adaptive-R s_plus scaled err "
+            f"{hp['adaptive_R_splus_scaled_err']:.2e} (<= 1e-3), "
+            f"bang-bang disagree {hp['adaptive_R_bang_bang_disagree']:.5f}"
+            f" (<= 0.005) -> {'OK' if hp['ok'] else 'FAIL'}")
         return hp
 
     hw_parity = _retry_leg("hw kernel parity", 300, _hw_parity_body)

@@ -131,13 +131,15 @@ def _warm_gloo_cliques(mesh) -> None:
     collectives immune to compile skew."""
     import jax
     from jax.experimental import multihost_utils
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from .mesh import put_global
 
     def _psum_all(m) -> None:
         names = tuple(m.axis_names)
-        ones = jax.device_put(
+        ones = put_global(
             np.ones(tuple(m.shape[a] for a in names), np.float32),
-            NamedSharding(m, P(*names)))
+            m, P(*names))
         for axes in [(a,) for a in names] + [names]:
             out_spec = P(*(None if a in axes else a for a in names))
             fn = jax.jit(jax.shard_map(
@@ -251,14 +253,18 @@ def run_multihost_dryrun(n_devices: int = 8, n_processes: int = 2,
         raise ValueError(f"{n_devices} devices not divisible by "
                          f"{n_processes} processes")
     local = n_devices // n_processes
-    port = _free_port()
-    coord = f"localhost:{port}"
     root = _repo_root()
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in [root, env.get("PYTHONPATH", "")] if p)
     # children must re-init their own backends; scrub any inherited pin
     env.pop("_EPI_DRYRUN_CHILD", None)
+    # REPLACE any inherited device-count flag with this dryrun's count: the
+    # reference child's force_cpu_devices only appends-if-absent, so e.g. a
+    # parent that ran dryrun_multichip(3) would otherwise leak count=3 into
+    # a 4-device reference (workers are immune — init_distributed replaces)
+    env["XLA_FLAGS"] = _set_device_count_flag(
+        env.get("XLA_FLAGS", ""), n_devices)
 
     with tempfile.TemporaryDirectory() as td:
         wout = os.path.join(td, "worker.npz")
@@ -294,6 +300,12 @@ def run_multihost_dryrun(n_devices: int = 8, n_processes: int = 2,
 
         procs = []
         if not fail:
+            # allocate the coordinator port HERE, right before the workers
+            # bind it — picking it before the (serialized, minutes-long)
+            # reference run would leave a window in which another process
+            # (e.g. the sibling multihost test on a concurrent pytest
+            # worker) is handed the same still-unbound port
+            coord = f"localhost:{_free_port()}"
             for pid in range(n_processes):
                 procs.append(subprocess.Popen(
                     [sys.executable, "-m",
