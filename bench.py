@@ -200,16 +200,66 @@ def measure_hw_kernel_parity(jax):
                     / (np.abs(np.asarray(ref_a.s_plus)) + 1.0)).max())
     u_diff = float((np.asarray(usm_a[T_hist:-1])
                     != np.asarray(ref_a.u_opt_smooth[T_hist:-1])).mean())
+    # 3-state twin: the training kernel's beta=0.9 path, with an interior
+    # NaN observation hole so the adapted-R reset-to-prior semantics
+    # (GEKF.m:180-185) run through real Mosaic too
+    # (tests/test_ekf6_kernel.py:274 is its interpret-mode pin)
+    from epidemicmodeling_tpu.models.batch_last import si_alpha_ekf_system_bl
+    from epidemicmodeling_tpu.ops.pallas.ekf3_kernel import (
+        ekf3_pallas, pack_params3_for_kernel)
+
+    rng3 = np.random.default_rng(9)
+    B3, T3 = 128, 90
+    u3 = jnp.asarray(rng3.integers(0, 3, (T3, 12, B3)), jnp.float32)
+    x3 = np.abs(rng3.normal(1e-4, 2e-5, (T3, B3))).astype(np.float32)
+    x3[70:] = np.nan
+    x3[25:30] = np.nan          # interior hole: R must reset to the prior
+    Rv3 = jnp.full((T3, B3), 4e-10, jnp.float32)
+    bc3 = lambda v: jnp.full((B3,), v, jnp.float32)
+    params3 = {"dt": bc3(1.0), "beta": bc3(0.2), "gamma": bc3(1 / 7),
+               "b": bc3(0.05), "s_min": bc3(1e-6), "i_min": bc3(1e-6),
+               "alpha_min": bc3(1e-8), "alpha_max": bc3(100.0),
+               "a": jnp.asarray(0.004 * rng3.random((12, B3)), jnp.float32),
+               "u_min": jnp.zeros((12, B3), jnp.float32),
+               "u_max": jnp.broadcast_to(
+                   jnp.asarray([3, 3, 2, 4, 2, 3, 2, 4, 2, 3, 2, 4],
+                               jnp.float32)[:, None], (12, B3)),
+               "epsilon": bc3(jnp.nan),
+               "w": jnp.full((12, B3), jnp.nan, jnp.float32),
+               "sigma": bc3(1e6)}
+    s_init3 = jnp.tile(jnp.asarray([0.999, 1e-4, 0.3],
+                                   jnp.float32)[:, None], (1, B3))
+    Ps_init3 = jnp.tile(jnp.asarray(np.diag([1e-4, 1e-6, 0.1]).astype(
+        np.float32))[:, :, None], (1, 1, B3))
+    Q3 = jnp.tile(jnp.asarray(np.diag([1e-8, 1e-8, 1e-4]).astype(
+        np.float32))[:, :, None], (1, 1, B3))
+    nan3 = jnp.full((3, B3), jnp.nan, jnp.float32)
+    nan33 = jnp.full((3, 3, B3), jnp.nan, jnp.float32)
+    ref3 = ekf_smoother_bl(
+        si_alpha_ekf_system_bl(), u3, jnp.asarray(x3), params3, s_init3,
+        Ps_init3, nan3, nan33, Q=Q3, R=Rv3, gamma_discount=0.995,
+        beta=0.9, inv_monitor_len=21)
+    scal3, vecs3 = pack_params3_for_kernel(params3, Q3)
+    ssm3, _, _ = ekf3_pallas(
+        u3, jnp.asarray(x3), Rv3, scal3, vecs3, s_init3,
+        Ps_init3.reshape(9, B3), nan3, nan33.reshape(9, B3),
+        gamma_discount=0.995, beta=0.9, inv_monitor_len=21,
+        interpret=interp)
+    ssm3_err = float((np.abs(np.asarray(ssm3) - np.asarray(ref3.s_smooth))
+                      / (np.abs(np.asarray(ref3.s_smooth)) + 1.0)).max())
+
     bounds = {"bang_bang_disagree": 0.005,
               "bang_bang_disagree_hi_eps": 0.001,
               "adaptive_R_splus_scaled_err": 1e-3,
-              "adaptive_R_bang_bang_disagree": 0.005}
+              "adaptive_R_bang_bang_disagree": 0.005,
+              "adaptive_R_3state_ssm_scaled_err": 1e-2}
     res = {
         "bang_bang_disagree": round(float(differ.mean()), 6),
         "bang_bang_disagree_hi_eps": round(
             float(lane_rate[eps >= 1e-3].mean()), 6),
         "adaptive_R_splus_scaled_err": round(sp_err, 8),
         "adaptive_R_bang_bang_disagree": round(u_diff, 6),
+        "adaptive_R_3state_ssm_scaled_err": round(ssm3_err, 8),
         "lanes": B, "mode": "interpret" if interp else "mosaic",
         "bounds": bounds,
     }
