@@ -903,7 +903,10 @@ def main():
             f" (<= 0.005) -> {'OK' if hp['ok'] else 'FAIL'}")
         return hp
 
-    hw_parity = _retry_leg("hw kernel parity", 300, _hw_parity_body)
+    # 900 s: the leg compiles ~7 executables cold (base + adaptive-R
+    # 6-state + 3-state, kernel and lanes reference each) at the axon
+    # service's 20-40 s-per-executable first-compile cost
+    hw_parity = _retry_leg("hw kernel parity", 900, _hw_parity_body)
 
     # ---- closed-loop hardware divergence: the r4 prose envelope as a
     # measured, bounded artifact field (VERDICT r4 weak #1). ok=false when

@@ -105,6 +105,21 @@ REGION_BATCH_ARRAY_FIELDS = ("observations", "new_cases_norm",
                              "population")
 
 
+def validate_pareto_chunk(pareto_chunk: int, mesh) -> None:
+    """Refuse a Pareto chunk size the 'ep' mesh axis cannot shard.
+
+    Each epsilon chunk carries an 'ep' sharding; an indivisible chunk
+    would otherwise surface as a raw NamedSharding divisibility error
+    from deep inside device_put. Shared by every mesh-taking entry point
+    (run_pipeline, pareto_prescribe) so the rule and the message cannot
+    diverge."""
+    if mesh is not None and pareto_chunk % mesh.shape["ep"]:
+        raise ValueError(
+            f"pareto_chunk={pareto_chunk} not divisible by mesh "
+            f"ep={mesh.shape['ep']}; pick a chunk size that is a "
+            "multiple of the ep axis")
+
+
 def shard_region_batch(mesh: Mesh, batch, axis: str = "dp"):
     """Place a RegionBatch's array fields on the mesh, REPLICATED.
 

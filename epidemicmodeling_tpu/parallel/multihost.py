@@ -59,12 +59,14 @@ def init_distributed(coordinator: str, num_processes: int, process_id: int,
     settings (env-var JAX_PLATFORMS alone is too late under the axon
     sitecustomize — see utils/platform.force_cpu_devices).
 
-    collective_timeout_s raises XLA:CPU's collective deadline (default
-    30 s — it bounds both the Gloo rendezvous KV wait and the op wait).
-    Cold XLA:CPU compiles on a contended host skew the processes' dispatch
-    times by MINUTES (one hits the shared persistent cache where the other
-    compiles), and a peer-less 30 s wait at the first cross-process
-    collective then kills the run (observed repeatedly on a 1-CPU host)."""
+    collective_timeout_s raises XLA:CPU's OP-level collective deadline
+    (default 30 s: how long an executing collective waits for its peers).
+    It does NOT raise the Gloo rendezvous GetKeyValue deadline — measured:
+    a run with this flag at 1800 still died at 29.99 s in connectFullMesh
+    — which is why _warm_gloo_cliques exists (see CLAUDE.md "Multi-host
+    Gloo survival rules"). Cold XLA:CPU compiles on a contended host skew
+    the processes' dispatch times by MINUTES (one hits the shared
+    persistent cache where the other compiles), so both deadlines matter."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")

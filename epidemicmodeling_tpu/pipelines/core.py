@@ -837,14 +837,8 @@ def pareto_prescribe(batch_full, trained: TrainedRegionParams,
         raise ValueError("epsilon_values is empty — pass at least one "
                          "tradeoff point (control.epsilon_grid(n) builds "
                          "the reference's log+linear grid)")
-    # same guard as run_pipeline's: each epsilon chunk is sharded over the
-    # 'ep' mesh axis, so an indivisible chunk would otherwise surface as a
-    # raw NamedSharding divisibility error from deep inside device_put
-    if mesh is not None and cfg.pareto_chunk % mesh.shape["ep"]:
-        raise ValueError(
-            f"pareto_chunk={cfg.pareto_chunk} not divisible by mesh "
-            f"ep={mesh.shape['ep']}; pick a chunk size that is a "
-            "multiple of the ep axis")
+    from ..parallel.mesh import validate_pareto_chunk
+    validate_pareto_chunk(cfg.pareto_chunk, mesh)
     fd = np.dtype(fdtype)
     prep = _pareto_prep_impl(
         _hcast(batch_full.observations, fd),

@@ -65,10 +65,14 @@ def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
 
     series, names, actual_list = [], [], []
     for gid in geo_ids:
-        sub = df[(df["GeoID"] == gid) & (df["DateNum"] >= d0)]
-        # the reference's frames arrive date-sorted and unique per region
-        # (one OxCGRT row per day); hostile frames may not — sort here and
-        # refuse duplicates rather than silently mis-ordering the series
+        sub = df[(df["GeoID"] == gid) & (df["DateNum"] >= d0)
+                 & (df["DateNum"] <= d2)]
+        # the reference's frames arrive date-sorted, unique and daily-
+        # contiguous per region (one OxCGRT row per day); hostile frames
+        # may not — sort here and refuse duplicates/gaps rather than
+        # silently mis-ordering or calendar-shifting the series (rows are
+        # consumed positionally as consecutive days, while the horizon
+        # stays calendar-based)
         sub = sub.sort_values("DateNum", kind="stable")
         dup = sub["DateNum"].duplicated()
         if bool(dup.any()):
@@ -77,6 +81,20 @@ def build_batches_from_frames(df, pops_df, geo_ids, start_train, end_train,
                 f"region {gid!r} has duplicate rows for date {first} — "
                 "each (GeoID, Date) must be unique; deduplicate the data "
                 "file before training")
+        if len(sub) > 1:
+            import pandas as pd
+            dts = pd.to_datetime(sub["DateNum"].astype(str),
+                                 format="%Y%m%d").to_numpy()
+            dd = np.diff(dts) // np.timedelta64(1, "D")
+            bad = np.nonzero(dd != 1)[0]
+            if bad.size:
+                i = int(bad[0])
+                raise ValueError(
+                    f"region {gid!r} has a {int(dd[i])}-day calendar gap "
+                    f"after {int(sub['DateNum'].iloc[i])} inside "
+                    f"[{start_train}, {end_predict}] — rows are consumed "
+                    "as consecutive days, so a gap silently shifts every "
+                    "later date; fill or re-export the data file")
         tr = sub[sub["DateNum"] <= d1]
         if len(tr) < 2:
             import warnings
@@ -231,7 +249,7 @@ def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
     sweep's lane work over ep (see train_predict_prescribe)."""
     import contextlib
     if mesh is not None:
-        from ..parallel.mesh import shard_region_batch
+        from ..parallel.mesh import shard_region_batch, validate_pareto_chunk
         R = len(batch_train.names)
         if R % mesh.shape["dp"]:
             raise ValueError(
@@ -239,11 +257,7 @@ def run_pipeline(batch_train, batch_full, actual_npis, T_hist, npi_weights,
                 "pad the geo list or pick a different mesh")
         # the sweep pads epsilon to whole chunks of exactly cfg.pareto_chunk,
         # and each chunk's epsilon axis is sharded over 'ep'
-        if cfg.pareto_chunk % mesh.shape["ep"]:
-            raise ValueError(
-                f"pareto_chunk={cfg.pareto_chunk} not divisible by mesh "
-                f"ep={mesh.shape['ep']}; pick a chunk size that is a "
-                "multiple of the ep axis")
+        validate_pareto_chunk(cfg.pareto_chunk, mesh)
         batch_train = shard_region_batch(mesh, batch_train)
         batch_full = shard_region_batch(mesh, batch_full)
         if actual_npis is not None:

@@ -22,9 +22,9 @@ for a in "$@"; do
     continue
   fi
   case "$a" in
-    -k|-m|-o|-p|-W|-c|--deselect|--ignore|--rootdir|--confcutdir|--junitxml|--basetemp)
+    -k|-m|-o|-p|-W|-c|-n|--deselect|--ignore|--rootdir|--confcutdir|--junitxml|--basetemp|--durations|--tb|--maxfail|--timeout|--color|--dist|--lfnf|--import-mode)
       expect_value=1 ;;
-    -*) ;;
+    -*) ;;    # incl. --flag=value (inline value) and bare flags
     *) has_selection=1 ;;
   esac
 done

@@ -46,6 +46,17 @@ def test_duplicate_dates_refused(base):
         _build(hostile, pops, geos)
 
 
+def test_interior_date_gap_refused(base):
+    """Rows are consumed positionally as consecutive days while the
+    horizon stays calendar-based, so a missing week inside the window
+    would silently shift every later date — refuse instead."""
+    df, pops, geos = base
+    g0 = df["GeoID"] == geos[0]
+    drop = df[g0].iloc[40:47].index          # a week-long interior hole
+    with pytest.raises(ValueError, match="calendar gap"):
+        _build(df.drop(index=drop), pops, geos)
+
+
 def test_missing_npi_column_refused(base):
     df, pops, geos = base
     with pytest.raises(ValueError, match="missing required columns"):
