@@ -90,6 +90,24 @@ def _mrdivide(Bmat, Amat):
     return jnp.linalg.solve(Amat.T, Bmat.T).T
 
 
+def _matlab_pinv(A):
+    """pinv with MATLAB's exact default tolerance (pinv.m): SVD, keep
+    sigma_i STRICTLY ABOVE tol = max(size(A)) * eps(norm(A)), where
+    eps(x) is the floating-point spacing at x and norm(A) = sigma_max.
+
+    jnp.linalg.pinv's default cutoff is 10*max(m,n)*eps*sigma_max —
+    ~10x coarser than MATLAB's — so at cond(P-) ~ 1e15 (the sigma=1e8
+    Jacobian-band forecast tail) it truncates singular values MATLAB
+    keeps, and the smoother gain — hence the smoothed costate and its
+    bang-bang prescriptions — diverges O(1) from the reference
+    (GEKF.m:215; found by the extended fuzz soak, seed 20 of
+    tests/test_soak_fuzz.py::test_soak_costate_vs_oracle)."""
+    U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
+    tol = max(A.shape) * (jnp.nextafter(s[0], jnp.inf) - s[0])
+    s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
+    return (Vt.T * s_inv[None, :]) @ U.T
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -300,7 +318,7 @@ def ekf_smoother(
         PAt = P_plus_k @ A.T
         if smoother_gain == "pinv":
             pm_safe = jnp.where(bad, I_m, P_minus_next)
-            J_full = PAt @ jnp.linalg.pinv(pm_safe)
+            J_full = PAt @ _matlab_pinv(pm_safe)
         elif smoother_gain == "solve":
             pm_safe = jnp.where(bad, I_m, P_minus_next)
             J_full = _mrdivide(PAt, pm_safe)

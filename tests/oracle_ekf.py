@@ -12,6 +12,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def matlab_pinv(A):
+    """pinv with MATLAB's exact default tolerance (pinv.m): keep singular
+    values STRICTLY ABOVE tol = max(size(A)) * eps(norm(A)). NumPy's
+    default (rcond=1e-15) and JAX's (10*max(m,n)*eps) both differ from
+    MATLAB's ~max(m,n)*eps(sigma_max); at cond(P-) ~ 1e15 the smoother
+    gain is decided by exactly which tiny singular values survive, so the
+    oracle must pin MATLAB's rule precisely (GEKF.m:215)."""
+    U, s, Vt = np.linalg.svd(A, full_matrices=False)
+    tol = max(A.shape) * np.spacing(s[0])
+    s_inv = np.where(s > tol, 1.0 / np.where(s > tol, s, 1.0), 0.0)
+    return (Vt.T * s_inv[None, :]) @ U.T
+
+
 def generic_ekf(u, x, handles, params, s_init, Ps_init, s_final, Ps_final,
                 w_bar, v_bar, Q_w, R_v, beta, gamma, inv_monitor_len, order):
     """u: (p, T), x: (n, T) — time-last like the MATLAB reference.
@@ -178,7 +191,7 @@ def generic_ekf(u, x, handles, params, s_init, Ps_init, s_final, Ps_final,
         if np.isnan(pmns).any() or np.isinf(pmns).any():
             J = np.zeros((m, m))
         else:
-            J = (P_PLUS[:, :, k] @ Ak.T) @ np.linalg.pinv(pmns)
+            J = (P_PLUS[:, :, k] @ Ak.T) @ matlab_pinv(pmns)
         S_SMOOTH[:, k] = S_PLUS[:, k] + J @ (S_SMOOTH[:, k + 1] - S_MINUS[:, k + 1])
         S_SMOOTH[:, k] = np.asarray(
             handles["StateHardMargins"](S_SMOOTH[:, k], params, k),

@@ -190,15 +190,24 @@ def test_costate_fuzz_matches_oracle(seed):
                                       ref[1].T)
     else:
         assert np.isfinite(np.asarray(res.s_smooth)).all()
-        # At cond >= 1e12 a relative costate error of order eps64*cond is
-        # expected between ANY two same-semantics f64 implementations (soak
-        # seed 14: cond 3.2e15 -> lambda3 differing 10-40% in the forecast
-        # tail), so a blanket flip-rate bound is the wrong assertion. The
-        # principled one: every flipped cell's switching function
-        # phi = eps*w - gamma*lambda3*a (SIAlphaModelEKFOptControlled.m:48-58)
-        # must sit INSIDE the conditioning-implied uncertainty of its
-        # costate term — a flip where |phi| is decisively nonzero is a real
-        # bug regardless of conditioning.
+        # At cond >= 1e12 the smoother gain is decided by pinv's singular-
+        # value truncation. Both sides now implement MATLAB's exact pinv
+        # tolerance (pinv.m: tol = max(size)*eps(norm); _matlab_pinv in
+        # ops/ekf.py, matlab_pinv in tests/oracle_ekf.py), so parity stays
+        # bounded even at cond ~1e21: the r5 soak sweep over 50 seeds
+        # measured ZERO bang-bang flips and scaled state error <= 3e-2.
+        # (Before the cutoffs were matched, jnp.linalg.pinv's 10x-coarser
+        # default truncated singular values MATLAB keeps and the smoothed
+        # costate diverged O(1) — soak seeds 14/20.) Residual error comes
+        # from SVD rounding near the kept/dropped boundary, so the state
+        # gate is loose-graded, and a flip is legal only where the
+        # switching function phi = eps*w - gamma*lambda3*a
+        # (SIAlphaModelEKFOptControlled.m:48-58) sits inside the
+        # conditioning-implied uncertainty of its costate term — a flip at
+        # decisively nonzero phi is a real bug regardless of conditioning.
+        d = np.abs(np.asarray(res.s_smooth) - ref[4].T)
+        scaled = float(np.nanmax(d / (np.abs(ref[4].T) + 1e-12)))
+        assert scaled < 0.1, f"smoothed-state scaled err {scaled}"
         flip_mask = np.asarray(res.u_opt_smooth) != ref[1].T
         flip = flip_mask.mean()
         band = np.finfo(np.float64).eps * worst
@@ -213,7 +222,7 @@ def test_costate_fuzz_matches_oracle(seed):
             f"(cond={worst:.2e}, band={band:.2e}): "
             f"worst |phi|/delta = "
             f"{(np.abs(phi[tt, pp]) / np.maximum(delta[tt, pp], 1e-300)).max():.2e}")
-        assert flip < 0.05, f"bang-bang flip fraction {flip}"
+        assert flip < 0.01, f"bang-bang flip fraction {flip}"
 
 
 @pytest.mark.parametrize("order", [1, 2])
