@@ -4,7 +4,13 @@ tests/test_backend_fuzz.py) re-run over a much wider seed range.
 Gated behind EPI_SOAK=1 so the default suite's runtime is unchanged;
 run explicitly as a latent-bug hunt:
 
+    scripts/soak.sh            # preferred: per-family processes + retry
     EPI_SOAK=1 [EPI_SOAK_N=25] python -m pytest tests/test_soak_fuzz.py -q -n0
+
+On 1-CPU hosts prefer scripts/soak.sh: a monolithic soak process issues
+hundreds of fresh XLA:CPU compiles and this environment segfaults
+nondeterministically in backend_compile_and_load under that load (the
+scripts/run_tests_by_file.sh crash family).
 
 EPI_SOAK_N scales the number of NEW seeds per family (default 25). Seeds
 start where the CI ranges end, so the soak only explores configurations
