@@ -12,7 +12,10 @@
 # retry's compiles are mostly cache hits, skipping the crashing path), and
 # a genuine assertion failure still fails deterministically both times.
 #
-# Usage: [EPI_SOAK_N=25] scripts/soak.sh
+# Usage: [EPI_SOAK_N=25] [EPI_SOAK_OFFSET=0] scripts/soak.sh
+# Explore deeper seed space by incrementing EPI_SOAK_OFFSET (one whole
+# window per increment), NOT by raising EPI_SOAK_N: a single process
+# running hundreds of cases trips the 1-CPU fresh-compile segfault.
 set -u
 cd "$(dirname "$0")/.."
 FAMS="test_soak_ekf_vs_oracle test_soak_time_varying_Q_vbar \

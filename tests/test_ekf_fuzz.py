@@ -205,9 +205,17 @@ def test_costate_fuzz_matches_oracle(seed):
         # (SIAlphaModelEKFOptControlled.m:48-58) sits inside the
         # conditioning-implied uncertainty of its costate term — a flip at
         # decisively nonzero phi is a real bug regardless of conditioning.
-        d = np.abs(np.asarray(res.s_smooth) - ref[4].T)
-        scaled = float(np.nanmax(d / (np.abs(ref[4].T) + 1e-12)))
-        assert scaled < 0.1, f"smoothed-state scaled err {scaled}"
+        # Gate each state component against its own scale (same grading
+        # as the backward fuzz's chaotic band): point-wise |d|/|ref|
+        # explodes at near-zero dips — soak seed 88 reads "0.101" at a
+        # lambda3 zero crossing (ref -7.1e-5 on a 0.40-scale component,
+        # abs err 7.2e-6, component-norm 1.0e-4, zero flips). The pinv-
+        # matched 50-seed sweep measured <= 3e-2 point-wise, which upper-
+        # bounds the component-norm metric cell-for-cell.
+        ss, rr = np.asarray(res.s_smooth), ref[4].T
+        comp_scale = np.nanmax(np.abs(rr), axis=0) + 1e-300
+        scaled = float(np.nanmax(np.abs(ss - rr) / comp_scale[None, :]))
+        assert scaled < 5e-2, f"norm-scaled smoother err {scaled:.3e}"
         flip_mask = np.asarray(res.u_opt_smooth) != ref[1].T
         flip = flip_mask.mean()
         band = np.finfo(np.float64).eps * worst
