@@ -350,12 +350,23 @@ def measure_hw_closed_loop(jax):
         np.maximum(np.abs(ca), np.abs(cb)), 1e-30)
     # front equivalence — the statement users actually consume: for the
     # scalarization at each epsilon, the BEST cost achievable from each
-    # backend's whole policy family must match (robust to bifurcation,
-    # since both families contain both branches at shifted epsilon).
-    # Measured r5: max 1.6%, median 0.
+    # backend's whole policy family must match. Measured r5: max 1.6%,
+    # median 0. Joint bifurcation cells (same-eps reldiff > 7% — already
+    # bounded by the tail metric) are excluded from BOTH families first:
+    # when a bifurcation lands on a grid ENDPOINT (eps = 1 exactly) only
+    # one family contains that branch — no shifted epsilon beyond the
+    # endpoint restores symmetry — and best-of-family at every other
+    # epsilon inherits the one-sided policy (fuzz soak seed 442:
+    # front_max 0.71 from a single 20.7%-reldiff eps=1 branch pair).
+    # Exclusion is skipped if fewer than half the cells survive, so a
+    # systematic divergence stays visible here too.
     w0, w1 = (1.0 - eps)[:, None, None], eps[:, None, None]
-    ca_best = np.min(w0 * j0a[None] + w1 * j1a[None], axis=1)
-    cb_best = np.min(w0 * j0b[None] + w1 * j1b[None], axis=1)
+    fam_a = w0 * j0a[None] + w1 * j1a[None]
+    fam_b = w0 * j0b[None] + w1 * j1b[None]
+    bif = cost_rel > 0.07                               # (E, R)
+    excl = bif[None, :, :] & (bif.mean(axis=0) < 0.5)[None, None, :]
+    ca_best = np.where(excl, np.inf, fam_a).min(axis=1)
+    cb_best = np.where(excl, np.inf, fam_b).min(axis=1)
     front_rel = np.abs(ca_best - cb_best) / np.maximum(
         np.maximum(ca_best, cb_best), 1e-30)
     bounds = {"flip_small_eps": 0.10, "flip_mid_eps": 0.03,

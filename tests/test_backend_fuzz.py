@@ -33,7 +33,12 @@ Grading (calibrated on 53 seeds — CI {3,11,29} + soak 100-149 — r5):
   itself is near zero (eps→0: J0-only with control fully on; eps→1:
   J1-only with control off) and a plain relative ratio of two tiny
   near-zero costs is noise, not divergence (soak seed 108: front "43%"
-  = 2.4e-3 vs 1.4e-3 against a 9.2e-2 cost scale).
+  = 2.4e-3 vs 1.4e-3 against a 9.2e-2 cost scale). The front comparison
+  additionally excludes joint bifurcation cells — see _divergence
+  (soak seed 442: an eps=1.0 ENDPOINT bifurcation put a J0-better branch
+  in only one family and front_max read 0.71 while every non-bifurcated
+  cell agreed exactly). Recalibrated green on 403 seeds (CI {3,11,29} +
+  soak offsets 0-7, seeds 100-499).
 
 Shapes are identical across seeds so each backend compiles once.
 """
@@ -117,29 +122,48 @@ def _run(bt, bf, backend, dtype):
 
 def _costs(par):
     j0, j1 = np.asarray(par["J0"]), np.asarray(par["J1"])
-    # same-eps realized scalarized cost (E, R) and best-achievable cost
-    # over each backend's whole policy family per eps (E, R)
+    # same-eps realized scalarized cost (E, R) and the whole policy
+    # family's scalarized cost (E_eval, E_policy, R)
     c = (1.0 - _EPS)[:, None] * j0 + _EPS[:, None] * j1
     w0, w1 = (1.0 - _EPS)[:, None, None], _EPS[:, None, None]
-    c_best = np.min(w0 * j0[None] + w1 * j1[None], axis=1)
-    return c, c_best
+    fam = w0 * j0[None] + w1 * j1[None]
+    return c, fam
 
 
 def _divergence(par_a, par_b):
     """Banded scale-floored closed-loop divergence metrics, per region
     (each value an (R,) array). Mirrors bench.measure_hw_closed_loop but
     floors the relative-cost denominators at 5% of the per-region median
-    best cost — see module docstring."""
+    best cost — see module docstring.
+
+    The front comparison excludes JOINT BIFURCATION CELLS (same-eps cost
+    reldiff > 7% — the cells the tail metric already bounds) from both
+    families: at a bifurcation the backends land on different bang-bang
+    branches, and when that happens at a grid ENDPOINT (eps = 1 exactly)
+    only one family contains the branch — there is no shifted epsilon
+    beyond the endpoint to restore symmetry — so best-of-family at every
+    OTHER eps inherits a one-sided policy and reads as front divergence
+    (soak seed 442: one eps=1.0 branch pair at cost reldiff 0.207 made
+    front_max 0.71 at eps -> 0 while every non-bifurcated cell agreed
+    exactly). Exclusion is skipped for a region when fewer than half its
+    cells survive (a systematic divergence must stay visible; the
+    cost_med/cost_tail7 metrics fire on it regardless)."""
     ua = np.asarray(par_a["u_prescribed"])[:, :, :-1]
     ub = np.asarray(par_b["u_prescribed"])[:, :, :-1]
     flips = (ua != ub).mean(axis=(2, 3))                      # (E, R)
-    ca, ca_best = _costs(par_a)
-    cb, cb_best = _costs(par_b)
-    scale = np.median(np.maximum(ca_best, cb_best), axis=0)   # (R,)
+    ca, fam_a = _costs(par_a)
+    cb, fam_b = _costs(par_b)
+    ca_best_raw = fam_a.min(axis=1)
+    cb_best_raw = fam_b.min(axis=1)
+    scale = np.median(np.maximum(ca_best_raw, cb_best_raw), axis=0)  # (R,)
     den_c = np.maximum(np.maximum(np.abs(ca), np.abs(cb)),
                        _SCALE_FLOOR * scale)
-    den_f = np.maximum(np.maximum(ca_best, cb_best), _SCALE_FLOOR * scale)
     cost_rel = np.abs(ca - cb) / den_c
+    bif = cost_rel > 0.07                                     # (E, R)
+    excl = bif[None, :, :] & (bif.mean(axis=0) < 0.5)[None, None, :]
+    ca_best = np.where(excl, np.inf, fam_a).min(axis=1)
+    cb_best = np.where(excl, np.inf, fam_b).min(axis=1)
+    den_f = np.maximum(np.maximum(ca_best, cb_best), _SCALE_FLOOR * scale)
     front_rel = np.abs(ca_best - cb_best) / den_f
     return dict(flips_all=flips.mean(axis=0),
                 flip_small=flips[_SMALL].mean(axis=0),

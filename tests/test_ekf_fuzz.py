@@ -335,8 +335,48 @@ def test_backward_fuzz_matches_oracle(seed):
     # extended range): rel 1.4e-9 / 9.3e-9 on s~0.9 elements — widened
     # from 1e-9 to 1e-7 accordingly (real semantic bugs, e.g. the
     # adaptive-R reset-vs-carry split, show at >=1e-3 here).
-    np.testing.assert_allclose(np.asarray(res.s_plus), ref[3].T,
+    #
+    # The FILTERED gate is additionally graded per step (soak seeds
+    # 126/132): a NaN hole with i and alpha pinned at their clips blows
+    # P- up to ~1e13 nearly rank-1; the next tiny-R update collapses it
+    # by ~16 decades, and at cond(P-) >= 1e12 the P+ subtraction cancels
+    # beyond f64 — the ORACLE's P+[0,0] went to -1.46e4 (negative
+    # variance) on seed 126 while the impl's Joseph ordering stayed PSD,
+    # and the oracle's filtered state stopped reproducing the
+    # observation (|h(s+)-obs|/obs = 0.217 at R ~ 1e-12) while the
+    # impl's tracked it at 4.7e-3. Elementwise parity is meaningless
+    # past that point, so: strict rtol before the first cond >= 1e12
+    # step of the backward recursion, and after it assert the physics
+    # certificate instead — the filtered state must still reproduce the
+    # observations at tiny R at least as well as the oracle does (with
+    # an absolute 5% roof measured at 10x margin), states stay finite
+    # and within one component-scale of the oracle, covariances finite.
+    sp_i, sp_o = np.asarray(res.s_plus), ref[3].T
+    conds_minus = np.linalg.cond(np.asarray(res.P_minus))
+    ill = np.where(conds_minus >= 1e12)[0]
+    # backward recursion processes k = T-1..0, so contamination starts
+    # at the LARGEST ill k and affects every k at or below it
+    kc = int(ill.max()) if ill.size else -1
+    np.testing.assert_allclose(sp_i[kc + 1:], sp_o[kc + 1:],
                                rtol=1e-7, atol=1e-11)
+    if kc >= 0:
+        band = slice(0, kc + 1)
+        assert np.isfinite(sp_i[band]).all()
+        comp_scale = np.abs(sp_o).max(axis=0) + 1e-300
+        scaled = (np.abs(sp_i[band] - sp_o[band])
+                  / comp_scale[None, :]).max()
+        assert scaled < 1.0, f"filtered chaotic-band scaled err {scaled:.3e}"
+        h_i = sp_i[:, 0] * sp_i[:, 1] * sp_i[:, 2]
+        h_o = sp_o[:, 0] * sp_o[:, 1] * sp_o[:, 2]
+        m = ~np.isnan(obs)
+        m[kc + 1:] = False
+        if m.any():
+            cons_i = float(np.max(np.abs(h_i[m] - obs[m]) / obs[m]))
+            cons_o = float(np.max(np.abs(h_o[m] - obs[m]) / obs[m]))
+            assert cons_i <= max(0.05, 1.5 * cons_o), (
+                f"filtered obs consistency {cons_i:.3e} worse than "
+                f"oracle's {cons_o:.3e} in the chaotic band")
+        assert np.isfinite(np.asarray(res.P_plus)[band]).all()
     # smoother tolerance graded by conditioning (see the costate fuzz);
     # the strict branch rides the same tiny-R amplification as s_plus
     # above (soak seed 25: one element at rel 3.8e-9), so it sits at
@@ -354,11 +394,25 @@ def test_backward_fuzz_matches_oracle(seed):
         # as the costate fuzz's third band). Elementwise rel blows up at
         # near-zero dips of the i series (soak seed 22: i_ref = 4e-9 on
         # a 1e-3-scale component reads as "rel 8.3"), so gate each state
-        # component against its own scale — measured 3.4e-5, bound 1e-3.
+        # component against its own scale. The bound follows first-order
+        # perturbation theory: quantities computed through a cancellation
+        # at condition kappa carry O(eps*kappa) relative error, and the
+        # backward filter's smoother (which runs forward from k=0)
+        # spreads the collapse everywhere. Soak calibration: seed 22
+        # measured 3.4e-5 near the 1e-12 threshold (floor 1e-3); seed
+        # 132 (cond 7.1e14, eps*kappa = 0.16) measured 4.2e-3; seed 126
+        # (cond 2.6e16, the oracle's own P+ diagonal at -1.46e4 —
+        # negative variance) measured 0.33, capped at one component
+        # scale. The filtered gate above certifies the impl against the
+        # observations in that regime, so this is a containment bound,
+        # not a parity claim.
+        bound = min(1.0, max(1e-3, np.finfo(np.float64).eps * worst))
         ss, rr = np.asarray(res.s_smooth), ref[4].T
         comp_scale = np.abs(rr).max(axis=0) + 1e-300
         scaled = (np.abs(ss - rr) / comp_scale[None, :]).max()
-        assert scaled < 1e-3, f"norm-scaled smoother err {scaled:.3e}"
+        assert scaled < bound, (
+            f"norm-scaled smoother err {scaled:.3e} "
+            f"(bound {bound:g} at cond {worst:.2e})")
         assert np.isfinite(np.asarray(res.P_smooth)).all()
 
 
