@@ -351,19 +351,24 @@ def measure_hw_closed_loop(jax):
     # front equivalence — the statement users actually consume: for the
     # scalarization at each epsilon, the BEST cost achievable from each
     # backend's whole policy family must match. Measured r5: max 1.6%,
-    # median 0. Joint bifurcation cells (same-eps reldiff > 7% — already
-    # bounded by the tail metric) are excluded from BOTH families first:
-    # when a bifurcation lands on a grid ENDPOINT (eps = 1 exactly) only
-    # one family contains that branch — no shifted epsilon beyond the
-    # endpoint restores symmetry — and best-of-family at every other
-    # epsilon inherits the one-sided policy (fuzz soak seed 442:
-    # front_max 0.71 from a single 20.7%-reldiff eps=1 branch pair).
-    # Exclusion is skipped if fewer than half the cells survive, so a
-    # systematic divergence stays visible here too.
+    # median 0. Joint bifurcation cells — policy flip fraction > 5% or
+    # same-eps reldiff > 7%, both already bounded by the band/tail
+    # metrics — are excluded from BOTH families first: when a branch
+    # pair lands on a grid ENDPOINT (eps = 1 exactly) only one family
+    # contains each branch (no shifted epsilon beyond the endpoint
+    # restores symmetry), and since J0 carries zero weight at eps=1 a
+    # branch's J0 coordinate is arbitrary among J1-ties, so
+    # best-of-family at every other epsilon inherits the unoptimized
+    # one-sided coordinate (fuzz soak seed 442: front_max 0.71 from a
+    # single 20.7%-reldiff eps=1 branch pair; seed 694: 0.35 from a
+    # sub-threshold 5.8% pair — hence the flip criterion). Exclusion is
+    # skipped if fewer than half the cells survive, so a systematic
+    # divergence stays visible here too.
     w0, w1 = (1.0 - eps)[:, None, None], eps[:, None, None]
     fam_a = w0 * j0a[None] + w1 * j1a[None]
     fam_b = w0 * j0b[None] + w1 * j1b[None]
-    bif = cost_rel > 0.07                               # (E, R)
+    flips_er = (ua != ub).mean(axis=(2, 3))             # (E, R)
+    bif = (cost_rel > 0.07) | (flips_er > 0.05)         # (E, R)
     excl = bif[None, :, :] & (bif.mean(axis=0) < 0.5)[None, None, :]
     ca_best = np.where(excl, np.inf, fam_a).min(axis=1)
     cb_best = np.where(excl, np.inf, fam_b).min(axis=1)

@@ -21,7 +21,13 @@ Grading (calibrated on 53 seeds — CI {3,11,29} + soak 100-149 — r5):
   (cross-substituted SSEs agree to 3e-16 rel; the same knife-edge family
   as CLAUDE.md's mesh-placement rule). Those regions get a co-optimality
   certificate (each backend's (a, b) must be optimal on the other's
-  problem) plus banded closed-loop bounds instead of bit-parity.
+  problem), and the parity claim is FACTORIZED: co-optimal models
+  legitimately re-simulate even identical policies to different costs
+  (soak seed 605: zero u-flips, 7.8% cost reldiff), so instead of
+  bounding own-model cost differences the test re-runs the pareto stage
+  on the vmap backend with LANES' trained params and requires lanes'
+  prescriptions exactly and costs at 1e-9 — downstream bit-parity,
+  isolated from the certified training flip.
 
 * f32 lanes vs pallas (the kernels' precision): exact equality is too
   strong even in interpret mode — where the bang-bang switching function
@@ -80,11 +86,13 @@ F32_BOUNDS = dict(
     front_max=0.35,     # (0.2237) best-achievable-cost reldiff per eps
 )
 
-# f64 closed-loop bounds for regions whose NNLS support flipped at a
-# certified degenerate optimum (one observation — soak seed 117 r0:
-# flips 6.1%, cost_max 1.1%, front_max 0.27% — with generous headroom;
-# the co-optimality certificate is the real teeth).
-F64_FLIP_BOUNDS = dict(flips=0.20, cost_max=0.05, front_max=0.05)
+# Regions whose NNLS support flipped at a certified degenerate optimum
+# carry NO own-model cost bounds: co-optimal models re-simulate even an
+# identical policy to different costs (soak seed 605: zero u-flips, 7.8%
+# cost reldiff), so model multiplicity is unbounded by design. The teeth
+# are the co-optimality certificate plus the factorized downstream-parity
+# check (vmap's pareto on lanes' trained params == lanes' pareto exactly)
+# in the test body.
 
 
 def _batches(tmp_path, seed):
@@ -117,7 +125,7 @@ def _run(bt, bf, backend, dtype):
     par = pareto_prescribe(bf, to.trained, to.init, s_hist, _EPS,
                            np.ones(12), np.zeros(12), NPI_MAXES_DEFAULT,
                            T_TRAIN, cfg, dtype=dtype)
-    return to, scen, par
+    return to, scen, par, s_hist
 
 
 def _costs(par):
@@ -136,18 +144,23 @@ def _divergence(par_a, par_b):
     floors the relative-cost denominators at 5% of the per-region median
     best cost — see module docstring.
 
-    The front comparison excludes JOINT BIFURCATION CELLS (same-eps cost
-    reldiff > 7% — the cells the tail metric already bounds) from both
-    families: at a bifurcation the backends land on different bang-bang
-    branches, and when that happens at a grid ENDPOINT (eps = 1 exactly)
-    only one family contains the branch — there is no shifted epsilon
-    beyond the endpoint to restore symmetry — so best-of-family at every
-    OTHER eps inherits a one-sided policy and reads as front divergence
-    (soak seed 442: one eps=1.0 branch pair at cost reldiff 0.207 made
-    front_max 0.71 at eps -> 0 while every non-bifurcated cell agreed
-    exactly). Exclusion is skipped for a region when fewer than half its
-    cells survive (a systematic divergence must stay visible; the
-    cost_med/cost_tail7 metrics fire on it regardless)."""
+    The front comparison excludes JOINT BIFURCATION CELLS — cells where
+    the backends landed on different bang-bang branches (policy flip
+    fraction > 5%, already bounded per band) or realized materially
+    different costs (same-eps reldiff > 7%, already bounded by the tail
+    metric) — from both families. Reason: when a branch pair lands on a
+    grid ENDPOINT (eps = 1 exactly), only one family contains each
+    branch — there is no shifted epsilon beyond the endpoint to restore
+    symmetry — and because the J0 coordinate carries ZERO weight at
+    eps = 1, a branch's J0 is arbitrary among J1-ties, so best-of-family
+    at every OTHER eps inherits an unoptimized one-sided coordinate and
+    reads as front divergence. Soak seed 442: one eps=1.0 branch pair at
+    cost reldiff 0.207 made front_max 0.71 at eps -> 0; soak seed 694:
+    a branch pair whose same-eps costs differed only 5.8% (below the
+    cost threshold — hence the flip criterion) made front_max 0.35,
+    and 0.0 exactly once excluded. Exclusion is skipped for a region
+    when fewer than half its cells survive (a systematic divergence
+    must stay visible; the flip/cost metrics fire on it regardless)."""
     ua = np.asarray(par_a["u_prescribed"])[:, :, :-1]
     ub = np.asarray(par_b["u_prescribed"])[:, :, :-1]
     flips = (ua != ub).mean(axis=(2, 3))                      # (E, R)
@@ -159,7 +172,7 @@ def _divergence(par_a, par_b):
     den_c = np.maximum(np.maximum(np.abs(ca), np.abs(cb)),
                        _SCALE_FLOOR * scale)
     cost_rel = np.abs(ca - cb) / den_c
-    bif = cost_rel > 0.07                                     # (E, R)
+    bif = (cost_rel > 0.07) | (flips > 0.05)                  # (E, R)
     excl = bif[None, :, :] & (bif.mean(axis=0) < 0.5)[None, None, :]
     ca_best = np.where(excl, np.inf, fam_a).min(axis=1)
     cb_best = np.where(excl, np.inf, fam_b).min(axis=1)
@@ -203,8 +216,8 @@ def test_backends_agree_on_pathological_data(seed, tmp_path):
         bt.npis)   # regression window == full T_TRAIN here
 
     # ---- vmap vs lanes at full (f64 on CPU) precision ----
-    to_v, scen_v, par_v = _run(bt, bf, "vmap", None)
-    to_l, scen_l, par_l = _run(bt, bf, "lanes", None)
+    to_v, scen_v, par_v, _ = _run(bt, bf, "vmap", None)
+    to_l, scen_l, par_l, s_hist_l = _run(bt, bf, "lanes", None)
     a2_v = np.asarray(to_v.trained.a2)
     assert np.isfinite(a2_v).all() and (a2_v >= 0).all()
 
@@ -233,7 +246,6 @@ def test_backends_agree_on_pathological_data(seed, tmp_path):
             flipped[r] = True
             break   # a round-1 flip makes round-2 inputs incomparable
 
-    div_vl = _divergence(par_v, par_l)
     j0_v, j1_v = np.asarray(par_v["J0"]), np.asarray(par_v["J1"])
     j0_l, j1_l = np.asarray(par_l["J0"]), np.asarray(par_l["J1"])
     u_v = np.asarray(par_v["u_prescribed"])
@@ -246,18 +258,34 @@ def test_backends_agree_on_pathological_data(seed, tmp_path):
                                        atol=1e-12)
             np.testing.assert_allclose(j1_v[:, r], j1_l[:, r], rtol=1e-9,
                                        atol=1e-12)
-        else:
-            # certified-degenerate region: coefficients legitimately
-            # differ O(1), so grade the closed loop like a knife edge
-            assert div_vl["flips_all"][r] <= F64_FLIP_BOUNDS["flips"], (
-                f"seed {seed} r{r} (degenerate): u-flip rate "
-                f"{div_vl['flips_all'][r]:.4f}")
-            assert div_vl["cost_max"][r] <= F64_FLIP_BOUNDS["cost_max"]
-            assert div_vl["front_max"][r] <= F64_FLIP_BOUNDS["front_max"]
+    if flipped.any():
+        # Certified-degenerate regions: the two backends trained
+        # CO-OPTIMAL BUT DIFFERENT models, and even an identical policy
+        # re-simulates to different costs under them (soak seed 605:
+        # zero u-flips yet 7.8% cost reldiff — a2's weight sits on NPI
+        # column 7 in one support, column 10 in the other). Any bound on
+        # own-model cost differences measures MODEL MULTIPLICITY, which
+        # the degeneracy leaves unbounded — so factorize instead: the
+        # downstream pipeline fed LANES' trained params must reproduce
+        # lanes' pareto from the vmap backend exactly (u) / at 1e-9
+        # (costs), for every region. This isolates the certified
+        # training flip from everything after it.
+        cfg_x = PipelineConfig(smoother_gain="solve", backend="vmap",
+                               pareto_chunk=2)
+        par_x = pareto_prescribe(bf, to_l.trained, to_l.init, s_hist_l,
+                                 _EPS, np.ones(12), np.zeros(12),
+                                 NPI_MAXES_DEFAULT, T_TRAIN, cfg_x)
+        np.testing.assert_array_equal(
+            np.asarray(par_x["u_prescribed"]), u_l,
+            err_msg=f"seed {seed}: vmap-on-lanes-params prescriptions")
+        np.testing.assert_allclose(np.asarray(par_x["J0"]), j0_l,
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(par_x["J1"]), j1_l,
+                                   rtol=1e-9, atol=1e-12)
 
     # ---- lanes vs pallas at matched f32 (the kernels' precision) ----
-    _, _, par_lf = _run(bt, bf, "lanes", jnp.float32)
-    _, _, par_pf = _run(bt, bf, "pallas", jnp.float32)
+    _, _, par_lf, _ = _run(bt, bf, "lanes", jnp.float32)
+    _, _, par_pf, _ = _run(bt, bf, "pallas", jnp.float32)
     d = {k: (v.max() if k in ("cost_max", "front_max") else v.mean())
          for k, v in _divergence(par_lf, par_pf).items()}
     for k, bound in F32_BOUNDS.items():
