@@ -386,9 +386,17 @@ def test_backward_fuzz_matches_oracle(seed):
         rt, at = (1e-8, 1e-11) if worst < 1e9 else (1e-6, 1e-9)
         np.testing.assert_allclose(np.asarray(res.s_smooth), ref[4].T,
                                    rtol=rt, atol=at)
-        np.testing.assert_allclose(np.asarray(res.P_smooth),
-                                   np.moveaxis(ref[7], 2, 0), rtol=rt,
-                                   atol=at)
+        # covariance elements below rt*||P|| are numerically zero at
+        # this conditioning — a cross-covariance at 1e-9 inside a
+        # matrix whose diagonal is 1e-1 carries no signal (soak seed
+        # 365: 7/720 elements at abs <= 4.4e-8, rel 17.9, everything
+        # else clean at 1e-6) — so the absolute floor scales with the
+        # matrix magnitude
+        P_ref = np.moveaxis(ref[7], 2, 0)
+        np.testing.assert_allclose(np.asarray(res.P_smooth), P_ref,
+                                   rtol=rt,
+                                   atol=max(at, rt * float(
+                                       np.abs(P_ref).max())))
     else:
         # cond >= 1e12: the RTS recursion is BLAS-chaotic (same regime
         # as the costate fuzz's third band). Elementwise rel blows up at
