@@ -21,7 +21,8 @@ cd "$(dirname "$0")/.."
 FAMS="test_soak_ekf_vs_oracle test_soak_time_varying_Q_vbar \
       test_soak_costate_vs_oracle test_soak_rt_ekf_vs_pregeneric_oracle \
       test_soak_backward_vs_oracle test_soak_totalcases_interior_nans \
-      test_soak_backends_agree"
+      test_soak_backends_agree \
+      test_soak_nnls_optimality test_soak_lasso_kkt"
 fail=0
 tmp=$(mktemp)
 trap 'rm -f "$tmp"' EXIT

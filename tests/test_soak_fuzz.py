@@ -34,6 +34,7 @@ if not os.environ.get("EPI_SOAK"):
 
 from tests import test_backend_fuzz as BF
 from tests import test_ekf_fuzz as F
+from tests import test_regression as R
 
 N = int(os.environ.get("EPI_SOAK_N", "25"))
 OFF = int(os.environ.get("EPI_SOAK_OFFSET", "0"))
@@ -85,3 +86,16 @@ _BF_SEEDS = _window(100, 2)
 @pytest.mark.parametrize("seed", _BF_SEEDS)
 def test_soak_backends_agree(seed, tmp_path):
     BF.test_backends_agree_on_pathological_data(seed, tmp_path)
+
+
+# Regression layer (r5): NNLS optimality certificates (KKT + scipy
+# co-optimality with degenerate-support grading) and lasso-path KKT —
+# CI covers seeds 0-7 / 0-5, the soak windows start past them.
+@pytest.mark.parametrize("seed", _window(8, 2))
+def test_soak_nnls_optimality(seed):
+    R.test_nnls_fuzz_optimality(seed)
+
+
+@pytest.mark.parametrize("seed", _window(6, 1))
+def test_soak_lasso_kkt(seed):
+    R.test_lasso_fuzz_kkt(seed)
