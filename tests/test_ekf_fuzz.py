@@ -393,10 +393,43 @@ def test_backward_fuzz_matches_oracle(seed):
         # else clean at 1e-6) — so the absolute floor scales with the
         # matrix magnitude
         P_ref = np.moveaxis(ref[7], 2, 0)
-        np.testing.assert_allclose(np.asarray(res.P_smooth), P_ref,
-                                   rtol=rt,
-                                   atol=max(at, rt * float(
-                                       np.abs(P_ref).max())))
+        atol_P = max(at, rt * float(np.abs(P_ref).max()))
+        try:
+            np.testing.assert_allclose(np.asarray(res.P_smooth), P_ref,
+                                       rtol=rt, atol=atol_P)
+        except AssertionError:
+            # Smoothed-covariance ulp-chaos certificate (soak seed 769):
+            # a 7-step observation hole inflates the backward P- to ~4e3
+            # (sv spread over ~8 decades, though cond per-step stays
+            # ~5e7); the smoother correction then cancels ~5 decades
+            # back down to the 1e-1-scale smoothed covariance, so
+            # ulp-level op-ordering differences amplify to ~5e-3
+            # ABSOLUTE on P_smooth while the smoothed STATE stays
+            # conditioned (measured 3.4e-7 scaled). The oracle ITSELF
+            # moves 3.3e-3 at the same step under a one-ulp observation
+            # scaling. Grade by that self-calibrating certificate:
+            # the impl-oracle gap must sit within 8x the oracle's own
+            # measured ulp response (a real covariance bug shows at the
+            # matrix scale, 20x above seed 769's certified gap).
+            f64_eps = np.finfo(np.float64).eps
+            sens = 0.0
+            for fac in (1 + f64_eps, 1 - f64_eps):
+                refp = oracle_ekf.backward_generic_ekf(
+                    u.T, (obs * fac).reshape(1, -1),
+                    oracle_ekf.si_alpha_backward_handles(), pr_np,
+                    s_init, Ps_init, s_final, Ps_final, np.zeros(3),
+                    np.zeros(1), Q, np.full((1, 1, T), 1e-12 * R_scale),
+                    1.0, gamma, 21, 1)
+                sens = max(sens, float(np.abs(
+                    np.moveaxis(refp[7], 2, 0) - P_ref).max()))
+            assert sens > atol_P, (
+                f"P_smooth diverges but the oracle is ulp-stable "
+                f"(sens {sens:.3e} <= atol {atol_P:.3e}) — real bug")
+            np.testing.assert_allclose(
+                np.asarray(res.P_smooth), P_ref, rtol=rt,
+                atol=max(atol_P, 8 * sens),
+                err_msg=f"P_smooth gap exceeds 8x the oracle's own "
+                        f"ulp sensitivity ({sens:.3e})")
     else:
         # cond >= 1e12: the RTS recursion is BLAS-chaotic (same regime
         # as the costate fuzz's third band). Elementwise rel blows up at
