@@ -37,6 +37,108 @@ def test_ar_forecast_continues_sinusoid():
     np.testing.assert_allclose(np.asarray(pred), truth, atol=1e-3)
 
 
+def _stable_ar_poly(rng, p):
+    """Draw a guaranteed-stable AR(p) polynomial via random reflection
+    coefficients |k| < 1 run through the Levinson step-up recursion (the
+    same update ar_fit_burg uses, so |roots| <= max|k| bound holds)."""
+    a = np.zeros(p)
+    for m in range(p):
+        k = rng.uniform(-0.9, 0.9)
+        a[:m] = a[:m] + k * a[:m][::-1]
+        a[m] = k
+    return a
+
+
+def _simulate_ar(rng, a, T, noise_std):
+    p = len(a)
+    burn = 8 * p + 50
+    e = noise_std * rng.standard_normal(T + burn)
+    y = np.zeros(T + burn)
+    for t in range(p, T + burn):
+        y[t] = -np.dot(a, y[t - p:t][::-1]) + e[t]
+    return y[burn:]
+
+
+def _fb_design(y, p):
+    """NumPy float64 twin of ar_fit's forward-backward stacked design
+    (predict y[t] from y[t-1..t-p] forward AND y[t+1..t+p] backward)."""
+    T = len(y)
+    idx = np.arange(p, T)
+    F = np.stack([y[idx - i] for i in range(1, p + 1)], axis=1)
+    bf = y[idx]
+    idx_b = np.arange(0, T - p)
+    B = np.stack([y[idx_b + i] for i in range(1, p + 1)], axis=1)
+    bb = y[idx_b]
+    return np.concatenate([F, B], axis=0), np.concatenate([bf, bb], axis=0)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ar_fuzz(seed):
+    """Randomized AR-layer fuzz: optimality certificates for the fb fit
+    (regularized normal-equations residual + objective no worse than the
+    true coefficients'), Burg stability (all roots inside the unit
+    circle, nonnegative prediction-error power), and exact zero-noise
+    forecast parity with a NumPy recursion. Mirrors the reference usage
+    Tools/PrescribeNPI.m:202-214 (MATLAB ``ar`` default = fb LS)."""
+    rng = np.random.default_rng(7000 + seed)
+    p = int(rng.choice([2, 3, 4, 8, 12, 24]))
+    T = int(rng.integers(10 * p + 40, 400))
+    a_true = _stable_ar_poly(rng, p)
+    noise_std = 10.0 ** rng.uniform(-2.0, 0.0)
+    y = _simulate_ar(rng, a_true, T, noise_std)
+
+    a_fit, nv = ar_fit(jnp.asarray(y), p, "fb")
+    a_fit = np.asarray(a_fit, float)
+    c_fit = -a_fit
+
+    # (1) optimality certificate on the regularized normal equations:
+    # c solves (G + lam I) c = X^T t with lam = 1e-12 tr(G)/p
+    X, t_vec = _fb_design(y, p)
+    G = X.T @ X
+    lam = 1e-12 * np.trace(G) / p
+    rhs = X.T @ t_vec
+    res = (G + lam * np.eye(p)) @ c_fit - rhs
+    scale = np.linalg.norm(G, ord=2) * np.linalg.norm(c_fit) + \
+        np.linalg.norm(rhs)
+    assert np.linalg.norm(res) <= 1e-9 * scale
+
+    # (2) the fitted objective beats the true coefficients' (LS optimality)
+    def obj(c):
+        return np.sum((t_vec - X @ c) ** 2) + lam * np.sum(c ** 2)
+    assert obj(c_fit) <= obj(-a_true) * (1 + 1e-12) + 1e-12
+
+    # (3) noise_var is the mean squared residual of the stacked system
+    np.testing.assert_allclose(float(nv), np.mean((t_vec - X @ c_fit) ** 2),
+                               rtol=1e-10)
+
+    # (4) Burg: stable poly (all roots of z^p + a1 z^{p-1} + .. + ap inside
+    # the closed unit circle) and nonnegative prediction-error power
+    a_b, E_b = ar_fit_burg(jnp.asarray(y), p)
+    a_b = np.asarray(a_b, float)
+    roots = np.roots(np.concatenate([[1.0], a_b]))
+    assert np.max(np.abs(roots)) <= 1.0 + 1e-8
+    assert float(E_b) >= -1e-15
+
+    # (5) zero-noise forecast == NumPy recursion; keyed forecast is
+    # deterministic in the key
+    n_ahead = int(rng.integers(5, 40))
+    pred = np.asarray(ar_forecast(jnp.asarray(y), a_fit, float(nv), n_ahead))
+    state = list(y[-p:][::-1])
+    ref = []
+    for _ in range(n_ahead):
+        y_t = -np.dot(a_fit, state)
+        ref.append(y_t)
+        state = [y_t] + state[:-1]
+    np.testing.assert_allclose(pred, np.array(ref), rtol=1e-9,
+                               atol=1e-12 * max(1.0, np.abs(y).max()))
+    key = jax.random.PRNGKey(seed)
+    p1 = np.asarray(ar_forecast(jnp.asarray(y), a_fit, float(nv), n_ahead,
+                                key=key))
+    p2 = np.asarray(ar_forecast(jnp.asarray(y), a_fit, float(nv), n_ahead,
+                                key=key))
+    np.testing.assert_array_equal(p1, p2)
+
+
 def test_new_case_ekf_runs_and_prescribes():
     from epidemicmodeling_tpu.models import SIAlphaParams
     P = 12

@@ -81,6 +81,84 @@ def test_nonlin_ls_skips_zero_windows():
     np.testing.assert_allclose(Lambda[45:], 0.03, rtol=1e-5)
 
 
+def numpy_gen_ratios(x, wlen, generation_period, time_unit):
+    """Independent loop transcription of Tools/Rt_ExpFitGenRatios.m:9-15."""
+    x = np.asarray(x, float)
+    T = len(x)
+    gp = generation_period
+    lam = np.zeros(T)
+    for t in range(gp, T):
+        lam[t] = np.log(x[t] / x[t - gp]) / gp
+    lam_s = np.zeros(T)
+    padded = np.concatenate([np.zeros(wlen - 1), lam])
+    for t in range(T):
+        lam_s[t] = padded[t:t + wlen].mean()
+    return (np.exp(lam * time_unit), lam,
+            np.exp(lam_s * time_unit), lam_s)
+
+
+def _fuzz_series(rng, T, allow_zeros=False):
+    """Piecewise-exponential case series with multiplicative noise; the
+    cumulative log-drift is rescaled into a safe dynamic range."""
+    n_seg = int(rng.integers(2, 5))
+    bounds = np.sort(rng.choice(np.arange(1, T), n_seg - 1, replace=False))
+    lam = np.repeat(rng.uniform(-0.12, 0.2, n_seg),
+                    np.diff(np.concatenate([[0], bounds, [T]])))
+    logx = np.log(10.0 ** rng.uniform(0, 2)) + np.cumsum(lam)
+    span = logx.max() - logx.min()
+    if span > 12.0:
+        logx = logx * (12.0 / span)
+    x = np.exp(logx + 10.0 ** rng.uniform(-3, -1) * rng.standard_normal(T))
+    if allow_zeros:
+        for _ in range(int(rng.integers(1, 4))):
+            x[int(rng.integers(0, T))] = 0.0
+    return x
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_rt_closedform_fuzz(seed):
+    """Randomized series vs independent NumPy loop oracles for the two
+    closed-form estimators (window conventions, prefill values, causal and
+    non-causal variants), plus certificates for the windowed nonlinear LS:
+    zero-windows map to (A=raw, r=0) exactly and every fitted window's SSE
+    is no worse than its initial guess's (the LM accepts only improving
+    steps; a window-indexing bug would break the mapping)."""
+    rng = np.random.default_rng(4200 + seed)
+    T = int(rng.integers(80, 220))
+    x = _fuzz_series(rng, T)
+    wlen = int(rng.integers(7, 22))
+    gp = int(rng.integers(2, 8))
+    tu = float(rng.choice([1.0, 0.5, 7.0]))
+
+    got = rt_expfit_gen_ratios(x, wlen, gp, tu)
+    ref = numpy_gen_ratios(x, wlen, gp, tu)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-9, atol=1e-12)
+
+    for causal in (True, False):
+        got = rt_expfit_log_lin_reg(jnp.asarray(x), wlen, tu, causal=causal)
+        ref = numpy_log_lin_reg(x, wlen, tu, causal=causal)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), r, rtol=1e-8,
+                                       atol=1e-10)
+
+    # nonlinear LS certificates on a zero-poked series (causal windows)
+    xz = _fuzz_series(rng, T, allow_zeros=True)
+    Rt, A, Lam, Fit = rt_expfit_nonlin_ls(jnp.asarray(xz), wlen, tu)
+    A = np.asarray(A)
+    r = np.asarray(Lam) * tu
+    n = np.arange(-wlen + 1, 1, dtype=float)
+    for s0 in range(0, T - wlen + 1):
+        w = xz[s0:s0 + wlen]
+        out = s0 + wlen - 1
+        if np.any(w == 0):
+            assert A[out] == w[-1] and r[out] == 0.0
+            continue
+        sse_fit = np.sum((w - A[out] * np.exp(r[out] * n / tu)) ** 2)
+        sse_init = np.sum((w - xz[out]) ** 2)      # A0 = x[out], r0 = 0
+        assert sse_fit <= sse_init * (1 + 1e-9) + 1e-12
+
+
 @pytest.mark.parametrize("order", [1, 2])
 def test_ekf_rt_tracks_exponential(order):
     lam = 0.025

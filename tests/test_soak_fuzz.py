@@ -32,9 +32,12 @@ import pytest
 if not os.environ.get("EPI_SOAK"):
     pytest.skip("soak suite: set EPI_SOAK=1 to run", allow_module_level=True)
 
+from tests import test_ar_prescribe as AR
 from tests import test_backend_fuzz as BF
 from tests import test_ekf_fuzz as F
+from tests import test_parallel_kf as PK
 from tests import test_regression as R
+from tests import test_rt as RT
 
 N = int(os.environ.get("EPI_SOAK_N", "25"))
 OFF = int(os.environ.get("EPI_SOAK_OFFSET", "0"))
@@ -99,3 +102,22 @@ def test_soak_nnls_optimality(seed):
 @pytest.mark.parametrize("seed", _window(6, 1))
 def test_soak_lasso_kkt(seed):
     R.test_lasso_fuzz_kkt(seed)
+
+
+# Session-layer families (r5, second wave): AR fit/forecast optimality
+# certificates, associative-scan KF vs the sequential reference, and the
+# closed-form Rt estimators vs loop oracles — CI covers seeds 0-5 / 0-3 /
+# 0-5, the soak windows start past them.
+@pytest.mark.parametrize("seed", _window(6, 1))
+def test_soak_ar(seed):
+    AR.test_ar_fuzz(seed)
+
+
+@pytest.mark.parametrize("seed", _window(4, 1))
+def test_soak_parallel_kf(seed):
+    PK.test_parallel_kf_fuzz(seed)
+
+
+@pytest.mark.parametrize("seed", _window(6, 1))
+def test_soak_rt_closedform(seed):
+    RT.test_rt_closedform_fuzz(seed)
