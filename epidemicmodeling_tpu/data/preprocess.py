@@ -53,6 +53,10 @@ def _causal_ma(x: np.ndarray, win: int) -> np.ndarray:
 def _filtfilt_ma(x: np.ndarray, win: int) -> np.ndarray:
     """Zero-phase boxcar smoothing with filtfilt-style reflective padding."""
     from scipy.signal import filtfilt
+    if win <= 1:
+        # a length-1 boxcar is the identity; scipy's filtfilt rejects
+        # single-tap filters (companion-matrix init needs >= 2 taps)
+        return np.asarray(x, float).copy()
     b = np.ones(win) / win
     if len(x) <= 3 * win:
         # too short for default padding; fall back to double-pass causal

@@ -36,6 +36,7 @@ from tests import test_ar_prescribe as AR
 from tests import test_backend_fuzz as BF
 from tests import test_ekf_fuzz as F
 from tests import test_parallel_kf as PK
+from tests import test_preprocess_fuzz as PP
 from tests import test_regression as R
 from tests import test_rt as RT
 
@@ -121,3 +122,19 @@ def test_soak_parallel_kf(seed):
 @pytest.mark.parametrize("seed", _window(6, 1))
 def test_soak_rt_closedform(seed):
     RT.test_rt_closedform_fuzz(seed)
+
+
+# Cleaning/smoothing layer (r5, third wave): every subfamily of
+# tests/test_preprocess_fuzz.py per seed — loop oracles for the cleaning
+# order, NPI forward fill, causal MA, filtfilt parity, Tikhonov optimality
+# certificates, sliding-window stats, and the ragged batch-pack semantics.
+# CI covers seeds 0-7 at most; base 8 starts every subfamily past CI.
+@pytest.mark.parametrize("seed", _window(8, 1))
+def test_soak_preprocess(seed):
+    PP.test_clean_fuzz(seed)
+    PP.test_ffill_fuzz(seed)
+    PP.test_causal_ma_fuzz(seed)
+    PP.test_filtfilt_fuzz(seed)
+    PP.test_tikhonov_fuzz(seed)
+    PP.test_sliding_and_dispatch_fuzz(seed)
+    PP.test_batch_pack_fuzz(seed)
