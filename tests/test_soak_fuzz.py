@@ -39,6 +39,7 @@ from tests import test_parallel_kf as PK
 from tests import test_preprocess_fuzz as PP
 from tests import test_regression as R
 from tests import test_rt as RT
+from tests import test_spatial_fuzz as SP
 
 N = int(os.environ.get("EPI_SOAK_N", "25"))
 OFF = int(os.environ.get("EPI_SOAK_OFFSET", "0"))
@@ -129,6 +130,21 @@ def test_soak_rt_closedform(seed):
 # order, NPI forward fill, causal MA, filtfilt parity, Tikhonov optimality
 # certificates, sliding-window stats, and the ragged batch-pack semantics.
 # CI covers seeds 0-7 at most; base 8 starts every subfamily past CI.
+# Spatial layer (r5, fourth wave): diffusion CA vs the per-cell loop
+# oracle (+ Pallas interpret + CFL rejection), social forces vs the
+# per-pair loop oracle, the obstacle-crossing predicate (exact booleans,
+# divide-by-zero branch included), the walker injection-wiring
+# certificate, and the coupled population sim's undo/mass invariants.
+# CI covers seeds 0-5; base 6 starts every subfamily past CI.
+@pytest.mark.parametrize("seed", _window(6, 1))
+def test_soak_spatial(seed):
+    SP.test_diffusion_fuzz(seed)
+    SP.test_social_forces_fuzz(seed)
+    SP.test_crossed_obstacle_fuzz(seed)
+    SP.test_walkers_fuzz(seed)
+    SP.test_population_fuzz(seed)
+
+
 @pytest.mark.parametrize("seed", _window(8, 1))
 def test_soak_preprocess(seed):
     PP.test_clean_fuzz(seed)
