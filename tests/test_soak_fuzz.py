@@ -39,6 +39,7 @@ from tests import test_parallel_kf as PK
 from tests import test_preprocess_fuzz as PP
 from tests import test_regression as R
 from tests import test_rt as RT
+from tests import test_analysis_fuzz as AN
 from tests import test_spatial_fuzz as SP
 
 N = int(os.environ.get("EPI_SOAK_N", "25"))
@@ -130,6 +131,24 @@ def test_soak_rt_closedform(seed):
 # order, NPI forward fill, causal MA, filtfilt parity, Tikhonov optimality
 # certificates, sliding-window stats, and the ragged batch-pack semantics.
 # CI covers seeds 0-7 at most; base 8 starts every subfamily past CI.
+# Analysis layer (r5, fourth wave): Hamiltonian shooting vs loop oracles
+# + the pointwise H-minimization certificate of the bang-bang law, the
+# continuous quadratic-cost law, SEIRP (time-varying + saturated) vs
+# per-step oracles with conservation and finite-difference Jacobians,
+# the early-phase closed forms vs numpy eig / scipy expm, obsv/ctrb
+# power-iteration oracles, and the country statistics.
+# CI covers seeds 0-5; base 6 starts every subfamily past CI.
+@pytest.mark.parametrize("seed", _window(6, 1))
+def test_soak_analysis(seed):
+    AN.test_shooting_fuzz(seed)
+    AN.test_multiplicative_shooting_fuzz(seed)
+    AN.test_continuous_control_fuzz(seed)
+    AN.test_seirp_fuzz(seed)
+    AN.test_seirp_closedform_fuzz(seed)
+    AN.test_linear_systems_fuzz(seed)
+    AN.test_country_stats_fuzz(seed)
+
+
 # Spatial layer (r5, fourth wave): diffusion CA vs the per-cell loop
 # oracle (+ Pallas interpret + CFL rejection), social forces vs the
 # per-pair loop oracle, the obstacle-crossing predicate (exact booleans,
