@@ -40,6 +40,7 @@ from tests import test_preprocess_fuzz as PP
 from tests import test_regression as R
 from tests import test_rt as RT
 from tests import test_analysis_fuzz as AN
+from tests import test_ml_fuzz as ML
 from tests import test_spatial_fuzz as SP
 
 N = int(os.environ.get("EPI_SOAK_N", "25"))
@@ -131,6 +132,20 @@ def test_soak_rt_closedform(seed):
 # order, NPI forward fill, causal MA, filtfilt parity, Tikhonov optimality
 # certificates, sliding-window stats, and the ragged batch-pack semantics.
 # CI covers seeds 0-7 at most; base 8 starts every subfamily past CI.
+# ML layer (r5, fourth wave): feature engineering vs loop oracles
+# (lag stacking, long-weekend indicator vs datetime.weekday, window
+# criteria), ridge normal-equations/stationarity certificates, the SVR
+# feature maps (exact kernel matrix, RFF Monte-Carlo convergence, primal
+# objective improvement), and the custom layers' closed forms.
+# CI covers seeds 0-5; base 6 starts every subfamily past CI.
+@pytest.mark.parametrize("seed", _window(6, 1))
+def test_soak_ml(seed):
+    ML.test_features_fuzz(seed)
+    ML.test_ridge_fuzz(seed)
+    ML.test_svr_features_fuzz(seed)
+    ML.test_layers_fuzz(seed)
+
+
 # Analysis layer (r5, fourth wave): Hamiltonian shooting vs loop oracles
 # + the pointwise H-minimization certificate of the bang-bang law, the
 # continuous quadratic-cost law, SEIRP (time-varying + saturated) vs
