@@ -25,7 +25,7 @@ FAMS="test_soak_ekf_vs_oracle test_soak_time_varying_Q_vbar \
       test_soak_nnls_optimality test_soak_lasso_kkt \
       test_soak_ar test_soak_parallel_kf test_soak_rt_closedform \
       test_soak_preprocess test_soak_spatial test_soak_analysis \
-      test_soak_ml"
+      test_soak_ml test_soak_checkpoint"
 fail=0
 tmp=$(mktemp)
 trap 'rm -f "$tmp"' EXIT

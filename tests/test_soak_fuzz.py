@@ -40,6 +40,7 @@ from tests import test_preprocess_fuzz as PP
 from tests import test_regression as R
 from tests import test_rt as RT
 from tests import test_analysis_fuzz as AN
+from tests import test_checkpoint_fuzz as CK
 from tests import test_ml_fuzz as ML
 from tests import test_spatial_fuzz as SP
 
@@ -132,6 +133,19 @@ def test_soak_rt_closedform(seed):
 # order, NPI forward fill, causal MA, filtfilt parity, Tikhonov optimality
 # certificates, sliding-window stats, and the ragged batch-pack semantics.
 # CI covers seeds 0-7 at most; base 8 starts every subfamily past CI.
+# Checkpoint/IO layer (r5, fourth wave): trained-table round trips
+# through .npz, the reference's .mat cell schema and orbax; the .mat
+# importer's pad/truncate contract; and the XPRIZE CSV writers + the
+# future-ip reader's ffill/zero-prefill/absent-geo rules vs
+# independently-computed expectations.
+# CI covers seeds 0-5; base 6 starts every subfamily past CI.
+@pytest.mark.parametrize("seed", _window(6, 1))
+def test_soak_checkpoint(seed):
+    CK.test_checkpoint_roundtrip_fuzz(seed)
+    CK.test_mat_shorter_coef_vectors(seed)
+    CK.test_xprize_csv_fuzz(seed)
+
+
 # ML layer (r5, fourth wave): feature engineering vs loop oracles
 # (lag stacking, long-weekend indicator vs datetime.weekday, window
 # criteria), ridge normal-equations/stationarity certificates, the SVR
