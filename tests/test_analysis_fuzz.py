@@ -40,18 +40,21 @@ def oracle_shooting(epsilon, w, a, u_min, u_max, gamma, beta, s0, i0,
     P = len(a)
     s, i, al = float(s0), float(i0), float(alpha0)
     l1, l2, l3 = (float(v) for v in lam0)
-    out = {k: [] for k in "s i al lam u H J0 J1".split()}
+    out = {k: [] for k in "s i al lam u H Hscale J0 J1".split()}
     for t in range(K):
         w_t = w[t] if np.ndim(w) == 2 else np.asarray(w, float)
         rho = l1 - l2 - (1.0 - epsilon)
         phi = epsilon * w_t - gamma * l3 * a
         u_t = (np.where(phi >= 0, u_min, u_max) if u_schedule is None
                else np.asarray(u_schedule[t], float))
-        H = (-rho * al * s * i - beta * l2 * i + epsilon * np.dot(w_t, u_t)
-             + l3 * (-gamma * al + gamma * np.dot(a, u_max - u_t)))
+        terms = np.array([-rho * al * s * i, -beta * l2 * i,
+                          epsilon * np.dot(w_t, u_t),
+                          l3 * (-gamma * al
+                                + gamma * np.dot(a, u_max - u_t))])
+        H = terms.sum()
         out["s"].append(s); out["i"].append(i); out["al"].append(al)
         out["lam"].append([l1, l2, l3]); out["u"].append(u_t)
-        out["H"].append(H)
+        out["H"].append(H); out["Hscale"].append(np.abs(terms).max())
         out["J0"].append(al * s * i); out["J1"].append(np.dot(w_t, u_t))
         l1n = l1 + dt * rho * al * i
         l2n = l2 + dt * (rho * al * s + beta * l2)
@@ -70,17 +73,19 @@ def oracle_mult_shooting(epsilon, w, a, c, u_min, u_max, beta, s0, i0,
     (testSIModelOptimalControl03.m:64-94)."""
     s, i, al = float(s0), float(i0), float(alpha0)
     l1, l2, l3 = (float(v) for v in lam0)
-    out = {k: [] for k in "s i al u H J0 J1".split()}
+    out = {k: [] for k in "s i al u H Hscale J0 J1".split()}
     for t in range(K):
         w_t = w[t] if np.ndim(w) == 2 else np.asarray(w, float)
         rho = l1 - l2 - (1.0 - epsilon)
         phi = epsilon * w_t - l3 * al * a
         u_t = np.where(phi >= 0, u_min, u_max)
         au = np.dot(a, u_t) + c
-        H = (-rho * al * s * i - beta * l2 * i + epsilon * np.dot(w_t, u_t)
-             - l3 * al * au)
+        terms = np.array([-rho * al * s * i, -beta * l2 * i,
+                          epsilon * np.dot(w_t, u_t), -l3 * al * au])
+        H = terms.sum()
         out["s"].append(s); out["i"].append(i); out["al"].append(al)
         out["u"].append(u_t); out["H"].append(H)
+        out["Hscale"].append(np.abs(terms).max())
         out["J0"].append(al * s * i); out["J1"].append(np.dot(w_t, u_t))
         l1n = l1 + dt * rho * al * i
         l2n = l2 + dt * (rho * al * s + beta * l2)
@@ -149,11 +154,40 @@ def test_shooting_fuzz(seed):
     got = si_alpha_hamiltonian_shooting(*args, **kw)
     ref = oracle_shooting(*args, **kw)
     for k, g in (("s", got.s), ("i", got.i), ("al", got.alpha),
-                 ("lam", got.lambdas), ("u", got.u), ("H", got.H),
+                 ("lam", got.lambdas), ("u", got.u),
                  ("J0", got.J0), ("J1", got.J1)):
         scale = max(np.abs(ref[k]).max(), 1e-12)
         np.testing.assert_allclose(np.asarray(g), ref[k], rtol=1e-12,
                                    atol=1e-12 * scale, err_msg=k)
+
+    # H is a near-cancelling sum of terms carrying exponentially-growing
+    # costates, so cross-implementation comparison cannot be graded
+    # consistently with the lam series (r5 soak find, seeds 9/17/27/28:
+    # 1e-10..1e-8 rel on H while states and costates match at 1e-12).
+    # Certify it STRUCTURALLY instead: recompute H from the package's own
+    # carried values with the independent numpy formula — a wrong term,
+    # sign or coefficient still shows up at O(1), while op-ordering
+    # roundoff stays at the term-scale ulp level.
+    gs, gi, gal = (np.asarray(v) for v in (got.s, got.i, got.alpha))
+    glam, gu, gH = (np.asarray(v) for v in (got.lambdas, got.u, got.H))
+    w_full = w if tv_w else np.broadcast_to(w, (K, P))
+    for t in range(K):
+        rho = glam[t, 0] - glam[t, 1] - (1.0 - eps)
+        terms = np.array([
+            -rho * gal[t] * gs[t] * gi[t], -beta * glam[t, 1] * gi[t],
+            eps * np.dot(w_full[t], gu[t]),
+            glam[t, 2] * (-gamma * gal[t]
+                          + gamma * np.dot(a, u_max - gu[t]))])
+        # ulp scale rides the largest INTERMEDIATE product (e.g. rho*al
+        # before the small s*i factors; the two cancelling halves of the
+        # l3 term), not just the final terms
+        hsc = max(np.abs(terms).max(), abs(rho) * gal[t],
+                  beta * abs(glam[t, 1]),
+                  abs(glam[t, 2]) * gamma
+                  * (gal[t] + np.dot(a, u_max - gu[t])), 1e-300)
+        assert abs(gH[t] - terms.sum()) <= 1e-11 * hsc, (
+            f"t={t}: H inconsistent with carried values "
+            f"({abs(gH[t] - terms.sum()) / hsc} of term scale)")
 
     # Hamiltonian-minimization certificate: H is linear in u with
     # coefficient phi_p, so u_opt must not beat any single flip
@@ -197,10 +231,29 @@ def test_multiplicative_shooting_fuzz(seed):
                                            alpha_max=10.0)
     ref = oracle_mult_shooting(*args, alpha_min=0.0, alpha_max=10.0)
     for k, g in (("s", got.s), ("i", got.i), ("al", got.alpha),
-                 ("u", got.u), ("H", got.H), ("J1", got.J1)):
+                 ("u", got.u), ("J1", got.J1)):
         scale = max(np.abs(ref[k]).max(), 1e-12)
         np.testing.assert_allclose(np.asarray(g), ref[k], rtol=1e-12,
                                    atol=1e-12 * scale, err_msg=k)
+
+    # structural H certificate from the package's own carried values
+    # (see test_shooting_fuzz for why cross-implementation H comparison
+    # cannot be graded consistently)
+    gs, gi, gal = (np.asarray(v) for v in (got.s, got.i, got.alpha))
+    glam, gu, gH = (np.asarray(v) for v in (got.lambdas, got.u, got.H))
+    for t in range(K):
+        rho = glam[t, 0] - glam[t, 1] - (1.0 - eps)
+        au = np.dot(a, gu[t]) + c
+        terms = np.array([
+            -rho * gal[t] * gs[t] * gi[t], -beta * glam[t, 1] * gi[t],
+            eps * np.dot(w, gu[t]), -glam[t, 2] * gal[t] * au])
+        # ulp scale rides the largest INTERMEDIATE product (see above)
+        hsc = max(np.abs(terms).max(), abs(rho) * gal[t],
+                  beta * abs(glam[t, 1]),
+                  abs(glam[t, 2]) * gal[t] * max(au, 1.0), 1e-300)
+        assert abs(gH[t] - terms.sum()) <= 1e-11 * hsc, (
+            f"t={t}: H inconsistent with carried values "
+            f"({abs(gH[t] - terms.sum()) / hsc} of term scale)")
 
     lam = np.asarray(got.lambdas)
     for t in range(0, K, max(1, K // 16)):
